@@ -1,0 +1,178 @@
+"""Multi-chip execution: device meshes, sharded rendering, and distributed
+differentiable training steps.
+
+The reference is strictly single-process/single-device — its only parallel
+axis is the per-pixel work-item grid (render.hpp:124-136, SURVEY.md §2).  The
+TPU-native scaling design (SURVEY.md §5.8):
+
+* a ``Mesh`` over (tiles, spp): the pixel axis is data-parallel across chips,
+  and samples-per-pixel can additionally split across a second axis;
+* the scene is tiny (~hundreds of primitives) and is **replicated**;
+* sample partial sums ride ``psum`` over the spp axis (ICI), image assembly
+  needs no gather at all when the fb is sharded by tiles;
+* for inverse rendering, parameter gradients are ``psum``-reduced across
+  every mesh axis — the all-reduce the north star asks for.
+
+Everything here is pure `shard_map` + collectives; it runs identically on a
+virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8) and on
+real slices.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import rng as rng_mod
+from ..core.camera import Camera
+from ..core.vec import Vec3
+from ..diff.params import combine, partition
+from ..engine.integrator import camera_rays, trace
+from ..scene import types as T
+
+
+def make_mesh(n_tiles: Optional[int] = None, n_spp: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_tiles is None:
+        n_tiles = n // n_spp
+    assert n_tiles * n_spp <= n, "mesh larger than device count"
+    dev_array = np.array(devices[: n_tiles * n_spp]).reshape(n_tiles, n_spp)
+    return Mesh(dev_array, ("tiles", "spp"))
+
+
+# ---------------------------------------------------------------------------
+# Sharded forward render
+# ---------------------------------------------------------------------------
+
+def render_sharded(scene: T.Scene, cam: Camera, width: int, height: int,
+                   spp: int, mesh: Mesh, max_depth: int = 50,
+                   attenuate_emission: bool = False, t_min: float = 1e-3,
+                   seed: int = 0) -> jnp.ndarray:
+    """Forward render over the mesh: pixels sharded on "tiles", samples on
+    "spp" (partial sums psum-reduced).  Returns the replicated (H, W, 3)
+    image."""
+    n_tiles = mesh.shape["tiles"]
+    n_spp = mesh.shape["spp"]
+    n_pix = width * height
+    assert n_pix % n_tiles == 0, "H*W must divide the tile axis"
+    assert spp % n_spp == 0, "spp must divide the spp axis"
+    local_spp = spp // n_spp
+
+    pix_ids = jnp.arange(n_pix, dtype=jnp.uint32)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("tiles")),
+        out_specs=P("tiles"),
+    )
+    def shard_render(scene_, cam_, pix):
+        spp_idx = jax.lax.axis_index("spp")
+        npx = pix.shape[0]
+        lanes_pix = jnp.tile(pix, local_spp)
+        samp = (spp_idx * local_spp
+                + jnp.repeat(jnp.arange(local_spp, dtype=jnp.uint32), npx))
+        state = rng_mod.seed_perf(lanes_pix, samp, seed)
+        state, o, d, tmv = camera_rays(cam_, width, height, lanes_pix, state)
+        _, rad = trace(scene_, o, d, tmv, state, max_depth,
+                       attenuate_emission, t_min)
+        acc = jnp.stack([
+            jnp.sum(rad.x.reshape(local_spp, npx), axis=0),
+            jnp.sum(rad.y.reshape(local_spp, npx), axis=0),
+            jnp.sum(rad.z.reshape(local_spp, npx), axis=0),
+        ], axis=-1)
+        # combine sample-shard partial sums over ICI
+        acc = jax.lax.psum(acc, "spp")
+        return acc / jnp.float32(spp)
+
+    with mesh:
+        img = shard_render(scene, cam, pix_ids)
+    return img.reshape(height, width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Distributed differentiable training step (inverse rendering)
+# ---------------------------------------------------------------------------
+
+def make_train_step(static_scene, static_cam_tree, width: int, height: int,
+                    local_spp: int, max_depth: int, mesh: Mesh,
+                    lr: float = 0.05, t_min: float = 1e-3,
+                    grad_filter=None):
+    """Build a jitted distributed SGD step for inverse rendering.
+
+    params: float-partitioned (scene, camera) pytree (see diff.params).
+    Pixels are sharded over "tiles", samples over "spp"; the scalar loss and
+    parameter gradients are psum-reduced over both axes — gradient
+    all-reduce across the slice, overlapped by XLA with the backward bounce
+    scan.  Returns step(params, target, pix_ids) -> (params', loss)."""
+
+    def local_loss(params, target, pix, spp_idx, tile_idx):
+        scene_, cam_ = combine(params, (static_scene, static_cam_tree))
+        npx = pix.shape[0]
+        lanes_pix = jnp.tile(pix, local_spp)
+        samp = (spp_idx.astype(jnp.uint32) * local_spp
+                + jnp.repeat(jnp.arange(local_spp, dtype=jnp.uint32), npx))
+        state = rng_mod.seed_perf(lanes_pix, samp, 0)
+        state, o, d, tmv = camera_rays(cam_, width, height, lanes_pix, state)
+        _, rad = trace(scene_, o, d, tmv, state, max_depth,
+                       attenuate_emission=True, t_min=t_min,
+                       differentiable=True)
+        img = jnp.stack([
+            jnp.mean(rad.x.reshape(local_spp, npx), axis=0),
+            jnp.mean(rad.y.reshape(local_spp, npx), axis=0),
+            jnp.mean(rad.z.reshape(local_spp, npx), axis=0),
+        ], axis=-1)
+        err = img - target
+        # mean over the GLOBAL pixel/sample population
+        return jnp.sum(err * err) / jnp.float32(width * height * 3)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P("tiles"), P("tiles")),
+        out_specs=(P(), P()),
+    )
+    def sharded_grad(params, target, pix):
+        spp_idx = jax.lax.axis_index("spp")
+        tile_idx = jax.lax.axis_index("tiles")
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, target, pix, spp_idx, tile_idx)
+        # all-reduce: tiles sum partial pixel populations; spp averages
+        # independent MC estimates of the same gradient.
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, "tiles") if g is not None else None,
+            grads)
+        grads = jax.tree_util.tree_map(
+            lambda g: (jax.lax.pmean(g, "spp")
+                       if g is not None else None), grads)
+        loss = jax.lax.psum(loss, "tiles")
+        loss = jax.lax.pmean(loss, "spp")
+        return grads, loss
+
+    @jax.jit
+    def step(params, target, pix_ids):
+        with mesh:
+            grads, loss = sharded_grad(params, target, pix_ids)
+        if grad_filter is not None:
+            # restrict optimization to a parameter subset (e.g. continuous
+            # material params; geometry gradients are interior-only and may
+            # need silhouette-aware estimators)
+            grads = grad_filter(grads)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g if p is not None else None,
+            params, grads, is_leaf=lambda x: x is None)
+        return new_params, loss
+
+    return step
+
+
+def scene_camera_params(scene: T.Scene, cam: Camera):
+    """Partition (scene, camera) into differentiable params + statics."""
+    params, static = partition((scene, cam))
+    scene_p, cam_p = params
+    scene_s, cam_s = static
+    return (scene_p, cam_p), (scene_s, cam_s)
