@@ -85,8 +85,11 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, rt_ref,
     pref0 = jnp.full((BR, max(n_media, 1)), inf, jnp.float32)
 
     def body(blk, carry):
+        # blk is a Python int (unrolled) so lane-dim slices are static —
+        # dynamic lane offsets mis-lower in Mosaic.
         best_key, best_blk, pref = carry
-        col = lambda c: tab_ref[c, pl.ds(blk * LANE, LANE)].reshape(1, LANE)
+        col = lambda c: tab_ref[c, blk * LANE:(blk + 1) * LANE].reshape(
+            1, LANE)
         c0x, c0y, c0z = col(0), col(1), col(2)
         dcx, dcy, dcz = col(3), col(4), col(5)
         r2, tm0, invd = col(6), col(7), col(8)
@@ -121,11 +124,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, rt_ref,
             pref = jnp.stack(cols_m, axis=1)
         return best_key, best_blk, pref
 
-    best_key, best_blk, pref = jax.lax.fori_loop(
-        0, n_blocks, body, (best_key0, best_blk0, pref0))
+    carry = (best_key0, best_blk0, pref0)
+    for blk in range(n_blocks):
+        carry = body(blk, carry)
+    best_key, best_blk, pref = carry
 
     # cross-lane arg-reduction with smallest-index tie-breaking
-    lane_ids = jax.lax.broadcasted_iota(jnp.float32, (BR, LANE), 1)
+    lane_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (BR, LANE), 1).astype(jnp.float32)
     key_star = jnp.min(best_key, axis=1, keepdims=True)     # (BR, 1)
     sphere_idx = best_blk * jnp.float32(LANE) + lane_ids
     cand = jnp.where(best_key == key_star, sphere_idx, jnp.float32(2**30))
