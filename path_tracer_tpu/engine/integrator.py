@@ -401,7 +401,7 @@ def render_wavefront(scene: T.Scene, cam: Camera, width: int, height: int,
     slots = max(1, min(slots, spp))
     if use_pallas is None:
         use_pallas = (jax.default_backend() not in ("cpu",)
-                      and (tile_pix * slots) % 256 == 0)
+                      and (tile_pix * slots) % 1024 == 0)
     fb, segments = _render_wavefront_jit(
         scene, cam, width, height, spp, tile_pix, slots, max_depth,
         attenuate_emission, t_min, jnp.uint32(seed), bool(use_pallas))

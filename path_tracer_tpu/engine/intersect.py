@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import rng as rng_mod
@@ -158,14 +159,23 @@ def sphere_t_matrix_mxu(s: T.Spheres, ro: Vec3, rd: Vec3,
     which puts the O(N*P*3) contraction on the systolic array and leaves the
     VPU only the per-pair root solve.  Associativity differs from the
     reference's dot(o-c, d) by ulps, so this kernel serves the perf path
-    (``exact=False``); parity mode uses sphere_t_matrix."""
+    (``exact=False``); parity mode uses sphere_t_matrix.
+
+    Matmuls run at Precision.HIGHEST: the TPU default (one bf16 pass, 8
+    mantissa bits) is catastrophic for this factorization — |c|^2-scale
+    terms (~3.6e3 for the scene's far sphere) cancel down to O(1) values,
+    so bf16 rounding flips hit/miss for ~17% of pairs and moves winners on
+    ~half the lanes (measured on v5e).  Note the factorized form is still
+    a few ulps worse than the direct oc = o - c kernels even at HIGHEST;
+    the pallas fold uses the direct form and is the TPU perf default."""
     d_mat = jnp.stack([rd.x, rd.y, rd.z], axis=1)           # (N, 3)
     o_mat = jnp.stack([ro.x, ro.y, ro.z], axis=1)
     c0 = jnp.stack([s.c0.x, s.c0.y, s.c0.z], axis=0)        # (3, P)
     dc = jnp.stack([s.c1.x - s.c0.x, s.c1.y - s.c0.y,
                     s.c1.z - s.c0.z], axis=0)
 
-    mm = lambda a, b_: jnp.dot(a, b_, preferred_element_type=jnp.float32)
+    mm = lambda a, b_: jnp.dot(a, b_, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     d_c0 = mm(d_mat, c0)
     d_dc = mm(d_mat, dc)
     o_c0 = mm(o_mat, c0)
@@ -248,6 +258,46 @@ def triangle_t_matrix(tr: T.Triangles, ro: Vec3, rd: Vec3, t_min, t_max
     in_range = ~((t < t_min) | (t > t_max))
     valid = not_parallel & u_ok & v_ok & in_range & tr.active
     return jnp.where(valid, t, INF)
+
+
+def triangle_t_matrix_badouel(tr: T.Triangles, ro: Vec3, rd: Vec3, t_min,
+                              t_max) -> jnp.ndarray:
+    """(N, P) candidate t, Badouel plane-then-barycentric strategy — the
+    reference's alternate compile-time intersector (triangle.hpp:14-56,
+    parallel cutoff eps=1e-6, extra `length < 0` reject).  Selectable the
+    way the template value parameter selects it (triangle.hpp:103)."""
+    ro, rd = _col(ro), _col(rd)
+    u = tr.v1 - tr.v0
+    v = tr.v2 - tr.v0
+    n = cross(u, v)
+    w0 = ro - tr.v0
+    a = -dot(n, w0)
+    b = dot(n, rd)
+    not_parallel = jnp.abs(b) >= jnp.float32(1e-6)
+    b_safe = jnp.where(not_parallel, b, 1.0)
+    t = a / b_safe
+    in_range = (t >= 0.0) & ~((t < t_min) | (t > t_max))
+    # barycentric via the precomputed dot products (triangle.hpp:39-48)
+    hp = ro + rd * t
+    uu = dot(u, u)
+    uv = dot(u, v)
+    vv = dot(v, v)
+    w = hp - tr.v0
+    wu = dot(w, u)
+    wv = dot(w, v)
+    D = uv * uv - uu * vv
+    D_safe = jnp.where(D == 0.0, 1.0, D)
+    s = (uv * wv - vv * wu) / D_safe
+    tt = (uv * wu - uu * wv) / D_safe
+    inside = ~((s < 0.0) | (s > 1.0) | (tt < 0.0) | (s + tt > 1.0))
+    valid = not_parallel & in_range & inside & (D != 0.0) & tr.active
+    return jnp.where(valid, t, INF)
+
+
+TRIANGLE_KERNELS = {
+    "moller_trumbore": triangle_t_matrix,   # reference default
+    "badouel": triangle_t_matrix_badouel,
+}
 
 
 def _class_best(t_mat: jnp.ndarray, scan: jnp.ndarray, sub: jnp.ndarray,
@@ -544,14 +594,15 @@ def build_hit(scene: T.Scene, best: _Best, ro: Vec3, rd: Vec3,
 def intersect_scene(scene: T.Scene, ro: Vec3, rd: Vec3, rtime: jnp.ndarray,
                     rng_state: jnp.ndarray, lane_mask: jnp.ndarray,
                     t_min: float = 1e-3, exact: bool = True,
-                    use_pallas: bool = False
+                    use_pallas: bool = False,
+                    triangle_algorithm: str = "moller_trumbore"
                     ) -> Tuple[jnp.ndarray, Hit]:
     """hit_world (render.hpp:30-51) for a ray batch.  ``lane_mask`` gates the
     media RNG draws for dead lanes (their streams must not advance).
 
     exact=True uses the reference-associativity sphere kernel (parity mode);
     exact=False uses the MXU-factorized kernel (ulp-level deviations).
-    use_pallas=True (perf mode on TPU, lane count multiple of 256) folds the
+    use_pallas=True (perf mode on TPU, lane count multiple of 1024) folds the
     sphere class in the fused VMEM kernel instead of materializing (N, P)
     matrices in HBM."""
     t_min_py = float(t_min)
@@ -581,7 +632,8 @@ def intersect_scene(scene: T.Scene, ro: Vec3, rd: Vec3, rtime: jnp.ndarray,
         class_mats = [(ts, scene.spheres.scan)]
 
     tr = rect_t_matrix(scene.rects, ro, rd, t_min, INF)
-    tt = triangle_t_matrix(scene.triangles, ro, rd, t_min, INF)
+    tt = TRIANGLE_KERNELS[triangle_algorithm](
+        scene.triangles, ro, rd, t_min, INF)
 
     best_r = _class_best(tr, scene.rects.scan, scene.rects.sub, CLASS_RECT,
                          tie_wins_later=True)

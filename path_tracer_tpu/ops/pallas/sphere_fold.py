@@ -2,24 +2,23 @@
 
 The jnp path materializes ~30 (N, P) float32 temporaries per bounce in HBM
 (~1 GB of traffic for 16K rays x 512 spheres) — the measured per-bounce cost
-is exactly HBM-bandwidth bound.  This kernel keeps the whole fold in VMEM:
+is HBM-bandwidth bound.  This kernel keeps the whole fold on-chip:
 
-* layout: rays along SUBLANES, spheres along LANES — each program owns a
-  (BR, 1) ray block broadcast against (1, 128) sphere columns, so every VPU
-  instruction does BR*128 useful pair-ops;
-* the sphere table (padded to a lane multiple) sits whole in VMEM as
-  (C, P_pad); the running minimum folds in registers over P_pad/128 column
-  blocks;
+* layout: each program owns a natural (8, 128) = 1024-ray VMEM tile (rays
+  on sublanes AND lanes — the native f32 register shape, nothing exotic);
+* the packed sphere table lives in SMEM; the sphere loop broadcasts one
+  sphere's 10 scalars per iteration against the whole ray tile, so the fold
+  is pure elementwise VPU work with NO cross-lane reductions, gathers, or
+  iota — the most conservative Mosaic surface there is;
 * division-free compare: for a fixed ray the roots order by
   key = -b -/+ sqrt(disc) (t = key / a with a = d.d > 0 constant per ray),
   so the fold tracks keys and divides once at the end — the final t equals
-  the reference formula (-b - sq)/a (sphere.hpp:74-99) bit-for-bit;
+  the reference formula (-b - sq)/a (sphere.hpp:74-99);
 * first-minimum tie-breaking (the sphere scan's strict `t < max`,
-  sphere.hpp:76) is reproduced by the final cross-lane arg-reduction taking
-  the smallest sphere index among key ties;
+  sphere.hpp:76) falls out of the ascending loop with strict `<`;
 * per-medium prefix minima (the closest-so-far the reference scan would
   have at each constant_medium's scan position, render.hpp:37-49) fold in
-  the same pass, masked by the spheres' scan indices.
+  the same pass, gated by the sphere's scan index.
 
 Forward-only: the differentiable path uses the jnp kernels (pallas custom
 VJP is future work).
@@ -38,16 +37,14 @@ from ...core.vec import Vec3
 from ...scene import types as T
 
 LANE = 128
-BR = 256  # rays per program (sublane-major)
+SUB = 8
+BLOCK_RAYS = SUB * LANE   # rays per program
 
 
-def _pack_sphere_table(s: T.Spheres) -> Tuple[jnp.ndarray, int]:
-    """(C, P_pad) f32 table, padded to a lane multiple.  Columns:
+def _pack_sphere_table(s: T.Spheres) -> jnp.ndarray:
+    """(P, 10) f32 table.  Columns:
     c0x c0y c0z dcx dcy dcz r2 time0 inv_denom scan.
-    Inactive/padding spheres get r2 = -inf so disc = b^2 - a*cc < 0 never
-    has roots."""
-    p = s.radius.shape[0]
-    p_pad = -(-p // LANE) * LANE
+    Inactive spheres get r2 = -inf so disc < 0 never has roots."""
     denom = s.time1 - s.time0
     inv_denom = jnp.where(denom == 0.0, 0.0,
                           1.0 / jnp.where(denom == 0.0, 1.0, denom))
@@ -58,17 +55,14 @@ def _pack_sphere_table(s: T.Spheres) -> Tuple[jnp.ndarray, int]:
         r2, s.time0, inv_denom,
         s.scan.astype(jnp.float32),
     ]
-    tab = jnp.stack([jnp.pad(c.astype(jnp.float32), (0, p_pad - p),
-                             constant_values=(-jnp.inf if i == 6 else 0.0))
-                     for i, c in enumerate(cols)], axis=0)
-    return tab, p_pad
+    return jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, rt_ref,
             tab_ref, med_scan_ref,
-            t_ref, idx_ref, pref_ref, *, n_blocks: int, n_media: int,
+            t_ref, idx_ref, pref_ref, *, n_spheres: int, n_media: int,
             t_min: float):
-    ox = ox_ref[:, :]   # (BR, 1)
+    ox = ox_ref[:, :]   # (SUB, LANE)
     oy = oy_ref[:, :]
     oz = oz_ref[:, :]
     dx = dx_ref[:, :]
@@ -76,24 +70,26 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, rt_ref,
     dz = dz_ref[:, :]
     rt = rt_ref[:, :]
 
-    a = dx * dx + (dy * dy + dz * dz)          # (BR, 1), > 0
+    a = dx * dx + (dy * dy + dz * dz)          # (SUB, LANE), > 0
     tmin_a = jnp.float32(t_min) * a
 
     inf = jnp.float32(jnp.inf)
-    best_key0 = jnp.full((BR, LANE), inf, jnp.float32)
-    best_blk0 = jnp.zeros((BR, LANE), jnp.float32)
-    pref0 = jnp.full((BR, max(n_media, 1)), inf, jnp.float32)
+    best_key0 = jnp.full((SUB, LANE), inf, jnp.float32)
+    best_idx0 = jnp.zeros((SUB, LANE), jnp.int32)
+    pref0 = jnp.full((max(n_media, 1), SUB, LANE), inf, jnp.float32)
 
-    def body(blk, carry):
-        # blk is a Python int (unrolled) so lane-dim slices are static —
-        # dynamic lane offsets mis-lower in Mosaic.
-        best_key, best_blk, pref = carry
-        col = lambda c: tab_ref[c, blk * LANE:(blk + 1) * LANE].reshape(
-            1, LANE)
-        c0x, c0y, c0z = col(0), col(1), col(2)
-        dcx, dcy, dcz = col(3), col(4), col(5)
-        r2, tm0, invd = col(6), col(7), col(8)
-        scan = col(9)
+    def body(j, carry):
+        best_key, best_idx, pref = carry
+        c0x = tab_ref[j, 0]
+        c0y = tab_ref[j, 1]
+        c0z = tab_ref[j, 2]
+        dcx = tab_ref[j, 3]
+        dcy = tab_ref[j, 4]
+        dcz = tab_ref[j, 5]
+        r2 = tab_ref[j, 6]
+        tm0 = tab_ref[j, 7]
+        invd = tab_ref[j, 8]
+        scan = tab_ref[j, 9]
 
         k = (rt - tm0) * invd                   # 0 for static spheres
         ocx = ox - (c0x + k * dcx)
@@ -112,35 +108,23 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, rt_ref,
 
         better = key < best_key                 # strict: first-min wins
         best_key = jnp.where(better, key, best_key)
-        best_blk = jnp.where(better, jnp.float32(blk), best_blk)
+        best_idx = jnp.where(better, j, best_idx)
 
         if n_media:
-            cols_m = []
+            upds = []
             for m in range(n_media):
-                ms = med_scan_ref[0, m]
-                restricted = jnp.where(scan < ms, key, inf)
-                pm = jnp.min(restricted, axis=1)       # (BR,)
-                cols_m.append(jnp.minimum(pref[:, m], pm))
-            pref = jnp.stack(cols_m, axis=1)
-        return best_key, best_blk, pref
+                in_prefix = scan < med_scan_ref[m]
+                restricted = jnp.where(in_prefix, key, inf)
+                upds.append(jnp.minimum(pref[m], restricted))
+            pref = jnp.stack(upds, axis=0)
+        return best_key, best_idx, pref
 
-    carry = (best_key0, best_blk0, pref0)
-    for blk in range(n_blocks):
-        carry = body(blk, carry)
-    best_key, best_blk, pref = carry
+    best_key, best_idx, pref = jax.lax.fori_loop(
+        0, n_spheres, body, (best_key0, best_idx0, pref0))
 
-    # cross-lane arg-reduction with smallest-index tie-breaking
-    lane_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (BR, LANE), 1).astype(jnp.float32)
-    key_star = jnp.min(best_key, axis=1, keepdims=True)     # (BR, 1)
-    sphere_idx = best_blk * jnp.float32(LANE) + lane_ids
-    cand = jnp.where(best_key == key_star, sphere_idx, jnp.float32(2**30))
-    idx = jnp.min(cand, axis=1, keepdims=True)               # (BR, 1)
-
-    t = jnp.where(key_star < inf, key_star / a, inf)
-    t_ref[:, :] = t
-    idx_ref[:, :] = idx.astype(jnp.int32)
-    pref_ref[:, :] = pref / a
+    t_ref[:, :] = jnp.where(best_key < inf, best_key / a, inf)
+    idx_ref[:, :] = best_idx
+    pref_ref[:, :, :] = pref / a
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -151,49 +135,47 @@ def sphere_fold(spheres: T.Spheres, ro: Vec3, rd: Vec3, t_min: float,
 
     Returns (t (N,), idx (N,) int32, prefix_t (M, N)) where prefix_t[m] is
     the minimum sphere-hit t restricted to scan < med_scans[m].  N must be
-    a multiple of 256."""
+    a multiple of 1024."""
     n = ro.x.shape[0]
-    assert n % BR == 0, f"ray count {n} not a multiple of {BR}"
-    g = n // BR
+    assert n % BLOCK_RAYS == 0, f"ray count {n} not a multiple of 1024"
+    rows = n // LANE
+    g = n // BLOCK_RAYS
+    p = int(spheres.radius.shape[0])
     n_media = int(med_scans.shape[0])
     m_out = max(n_media, 1)
 
-    tab, p_pad = _pack_sphere_table(spheres)
-    n_blocks = p_pad // LANE
-
-    resh = lambda x: x.reshape(n, 1)
-    med_in = med_scans.astype(jnp.float32).reshape(1, -1)
+    tab = _pack_sphere_table(spheres)
+    med_in = med_scans.astype(jnp.float32)
     if n_media == 0:
-        med_in = jnp.zeros((1, 1), jnp.float32)
+        med_in = jnp.zeros((1,), jnp.float32)
 
-    ray_spec = pl.BlockSpec((BR, 1), lambda i: (i, 0),
+    resh = lambda x: x.reshape(rows, LANE)
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, n_blocks=n_blocks,
-                               n_media=n_media, t_min=float(t_min))
+    kernel = functools.partial(_kernel, n_spheres=p, n_media=n_media,
+                               t_min=float(t_min))
     t, idx, pref = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[ray_spec] * 7 + [
-            pl.BlockSpec((tab.shape[0], p_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, med_in.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere table
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # media scans
         ],
         out_specs=[
-            pl.BlockSpec((BR, 1), lambda i: (i, 0),
+            pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, 1), lambda i: (i, 0),
+            pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, m_out), lambda i: (i, 0),
+            pl.BlockSpec((m_out, SUB, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n, m_out), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((m_out, rows, LANE), jnp.float32),
         ],
     )(resh(ro.x), resh(ro.y), resh(ro.z), resh(rd.x), resh(rd.y),
       resh(rd.z), resh(rtime), tab, med_in)
 
-    pref_t = jnp.moveaxis(pref, 1, 0)
+    pref_t = pref.reshape(m_out, n)
     return t.reshape(n), idx.reshape(n), pref_t[:n_media]

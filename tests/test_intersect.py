@@ -170,3 +170,36 @@ def test_empty_scene_misses():
     _, hit = intersect_scene(scene, ro, rd, jnp.zeros(1),
                              jnp.array([7], jnp.uint32), jnp.ones(1, bool))
     assert not bool(hit.hit[0])
+
+
+def test_badouel_matches_moller_trumbore():
+    """The two compile-time triangle strategies (triangle.hpp:14-100) agree
+    away from edge-epsilon regions."""
+    from path_tracer_tpu.engine.intersect import (triangle_t_matrix,
+                                                  triangle_t_matrix_badouel)
+    from path_tracer_tpu.scene.builder import SceneBuilder
+    rs = np.random.RandomState(7)
+    sb = SceneBuilder()
+    m = sb.lambertian((0.5, 0.5, 0.5))
+    for _ in range(12):
+        v = rs.uniform(-2, 2, (3, 3)).astype(np.float32)
+        v[:, 2] -= 4.0
+        sb.add_triangle(tuple(v[0]), tuple(v[1]), tuple(v[2]), m)
+    scene = sb.build()
+    n = 512
+    o = rs.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    d = rs.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d[:, 2] -= 1.5
+    ro = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    rd = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    t_mt = np.asarray(triangle_t_matrix(scene.triangles, ro, rd,
+                                        jnp.float32(1e-3), jnp.inf))
+    t_bd = np.asarray(triangle_t_matrix_badouel(scene.triangles, ro, rd,
+                                                jnp.float32(1e-3), jnp.inf))
+    hit_mt = t_mt < 1e30
+    hit_bd = t_bd < 1e30
+    # agreement on >99% of (ray, tri) pairs; disagreements only near edges
+    agree = hit_mt == hit_bd
+    assert agree.mean() > 0.99
+    both = hit_mt & hit_bd
+    np.testing.assert_allclose(t_mt[both], t_bd[both], rtol=5e-4, atol=1e-4)

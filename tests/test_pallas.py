@@ -32,11 +32,11 @@ def interp_fold(monkeypatch_module=None):
 @pytest.fixture(scope="module")
 def final_rays():
     scene, cam = build_final_scene(4 / 3)
-    n = 512
+    n = 1024
     pix = jnp.arange(n, dtype=jnp.uint32)
     samp = jnp.zeros(n, dtype=jnp.uint32)
     state = rng_mod.seed_perf(pix, samp, 0)
-    state, o, d, t = camera_rays(cam, 32, 16, pix, state)
+    state, o, d, t = camera_rays(cam, 32, 32, pix, state)
     return scene, o, d, t
 
 
@@ -88,7 +88,7 @@ def test_sphere_fold_moving_spheres(interp_fold):
     sb.add_moving_sphere((0.0, 0.0, -3.0), (2.0, 0.0, -3.0), 0.0, 1.0,
                          0.5, m)
     scene = sb.build()
-    n = 256
+    n = 1024
     o = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
     d = Vec3(jnp.zeros(n), jnp.zeros(n), -jnp.ones(n))
     rt = jnp.linspace(0.0, 1.0, n)
