@@ -94,3 +94,22 @@ def test_train_step_runs_and_reduces_loss(scene_cam):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_multihost_glue_single_process():
+    """bring_up is a no-op single-process; global_mesh covers all devices;
+    sharded render through it matches render_perf exactly."""
+    import jax
+    from path_tracer_tpu.parallel.multihost import (assemble_image,
+                                                    bring_up, global_mesh)
+    from path_tracer_tpu.parallel.mesh import render_sharded
+    from path_tracer_tpu.engine.integrator import render_perf
+    from path_tracer_tpu.scene.presets import THREE_SPHERES
+
+    bring_up()
+    mesh = global_mesh(n_spp=2)
+    assert mesh.shape["tiles"] * mesh.shape["spp"] == len(jax.devices())
+    scene, cam = THREE_SPHERES.build()
+    img = render_sharded(scene, cam, 64, 32, 4, mesh, max_depth=4)
+    ref = np.asarray(render_perf(scene, cam, 64, 32, 4, max_depth=4))
+    np.testing.assert_allclose(assemble_image(img), ref, atol=2e-6)
