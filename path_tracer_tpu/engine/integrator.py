@@ -391,17 +391,35 @@ def _render_wavefront_jit(scene: T.Scene, cam: Camera, width: int,
 def render_wavefront(scene: T.Scene, cam: Camera, width: int, height: int,
                      spp: int, max_depth: int = 50,
                      attenuate_emission: bool = False, t_min: float = 1e-3,
-                     seed: int = 0, tile_pix: int = 16384,
-                     slots: int = 4, return_segments: bool = False,
-                     use_pallas=None):
+                     seed: int = 0, tile_pix: Optional[int] = None,
+                     slots: Optional[int] = None,
+                     return_segments: bool = False, use_pallas=None):
     """Regenerating single-dispatch renderer — the perf default.  Output
     (H, W, 3) (+ traced segment count if requested).  use_pallas=None picks
-    the fused VMEM sphere kernel automatically on TPU backends."""
-    tile_pix = min(tile_pix, width * height)
+    the fused VMEM sphere kernel automatically on TPU backends.
+
+    Default tiling: with the pallas fold (no (N, P) HBM temporaries) the
+    whole frame is ONE tile and each lane works through its pixel's samples
+    sequentially (slots small): per-lane totals then concentrate around
+    spp/slots * avg-path-len, so the while_loop's straggler tail costs a
+    small factor instead of the ~10x measured with 4-slot 16K tiles at low
+    samples-per-lane.  The jnp fallback keeps small tiles to bound the
+    (N, P) intermediates."""
+    n_pix = width * height
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if tile_pix is None:
+        if on_tpu:
+            # whole frame (rounded up to the pallas lane quantum; padded
+            # lanes trace off-frame pixels and are sliced away)
+            tile_pix = min(-(-n_pix // 256) * 256, 1 << 19)
+        else:
+            tile_pix = 16384
+    if slots is None:
+        slots = 1 if on_tpu else 4
+    tile_pix = min(tile_pix, -(-n_pix // 256) * 256)
     slots = max(1, min(slots, spp))
     if use_pallas is None:
-        use_pallas = (jax.default_backend() not in ("cpu",)
-                      and (tile_pix * slots) % 1024 == 0)
+        use_pallas = on_tpu and (tile_pix * slots) % 256 == 0
     fb, segments = _render_wavefront_jit(
         scene, cam, width, height, spp, tile_pix, slots, max_depth,
         attenuate_emission, t_min, jnp.uint32(seed), bool(use_pallas))

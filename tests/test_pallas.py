@@ -15,18 +15,28 @@ from path_tracer_tpu.scene.presets import build_final_scene
 
 
 @pytest.fixture(scope="module")
-def interp_fold(monkeypatch_module=None):
-    """sphere_fold with pallas_call forced to interpret mode."""
+def interp_pallas():
+    """Force pallas_call to interpret mode for all kernels."""
+    import path_tracer_tpu.ops.pallas.prim_fold as PF
     import path_tracer_tpu.ops.pallas.sphere_fold as SF
     orig = pl.pallas_call
     pl.pallas_call = functools.partial(orig, interpret=True)
-    # drop the jit cache so the interpreted call graph is retraced
+    # drop jit caches so the interpreted call graphs are retraced
     SF.sphere_fold.clear_cache()
+    PF.prim_fold.clear_cache()
     try:
-        yield SF.sphere_fold
+        yield
     finally:
         pl.pallas_call = orig
         SF.sphere_fold.clear_cache()
+        PF.prim_fold.clear_cache()
+
+
+@pytest.fixture(scope="module")
+def interp_fold(interp_pallas):
+    """sphere_fold under interpret mode."""
+    import path_tracer_tpu.ops.pallas.sphere_fold as SF
+    yield SF.sphere_fold
 
 
 @pytest.fixture(scope="module")
@@ -99,3 +109,72 @@ def test_sphere_fold_moving_spheres(interp_fold):
     # center is 2 units off-axis -> miss
     assert ts[0] == pytest.approx(2.5, abs=1e-5)
     assert ts[-1] >= 1e30
+
+
+def test_prim_fold_intersect_matches_jnp(interp_pallas, final_rays):
+    """Full intersect_scene: megakernel path vs jnp path on the final
+    scene — same winner class/material/scan, t equal to tolerance, same
+    RNG advancement (media draws)."""
+    import jax.numpy as jnp2
+    from path_tracer_tpu.core import rng as rng_mod2
+    from path_tracer_tpu.engine.intersect import intersect_scene
+    scene, o, d, t = final_rays
+    n = t.shape[0]
+    state = rng_mod2.seed_perf(jnp2.arange(n, dtype=jnp2.uint32),
+                               jnp2.zeros(n, jnp2.uint32), 7)
+    mask = jnp2.ones(n, bool)
+    rng_p, hit_p = intersect_scene(scene, o, d, t, state, mask,
+                                   exact=False, use_pallas=True)
+    rng_j, hit_j = intersect_scene(scene, o, d, t, state, mask,
+                                   exact=False, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(rng_p), np.asarray(rng_j))
+    np.testing.assert_array_equal(np.asarray(hit_p.hit),
+                                  np.asarray(hit_j.hit))
+    h = np.asarray(hit_j.hit)
+    np.testing.assert_array_equal(np.asarray(hit_p.cls)[h],
+                                  np.asarray(hit_j.cls)[h])
+    np.testing.assert_array_equal(np.asarray(hit_p.mat)[h],
+                                  np.asarray(hit_j.mat)[h])
+    np.testing.assert_allclose(np.asarray(hit_p.t)[h],
+                               np.asarray(hit_j.t)[h],
+                               rtol=2e-4, atol=1e-5)
+    for comp in ("x", "y", "z"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(hit_p.normal, comp))[h],
+            np.asarray(getattr(hit_j.normal, comp))[h],
+            rtol=5e-3, atol=5e-3)
+
+
+def test_prim_fold_rect_tri_classes(interp_pallas):
+    """Rect + triangle winners through the megakernel on a mixed scene."""
+    from path_tracer_tpu.core.vec import Vec3
+    from path_tracer_tpu.engine.intersect import intersect_scene
+    from path_tracer_tpu.scene.builder import SceneBuilder
+    from path_tracer_tpu.core import rng as rng_mod2
+    sb = SceneBuilder()
+    m = sb.lambertian((0.5, 0.5, 0.5))
+    sb.add_xy_rect(-1, 1, -1, 1, -2.0, m)                 # closest at z=-2
+    sb.add_triangle((-1, -1, -3), (1, -1, -3), (0, 1, -3), m)
+    sb.add_box((-0.5, -0.5, -5.0), (0.5, 0.5, -4.0), m)
+    sb.add_sphere((0, 0, -8), 1.0, m)
+    scene = sb.build()
+    n = 1024
+    o = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+    # half the rays dodge the rect/tri by an x offset
+    xoff = jnp.where(jnp.arange(n) % 2 == 0, 0.0, 3.0)
+    d = Vec3(xoff * 0.0, jnp.zeros(n), -jnp.ones(n))
+    o = Vec3(o.x + xoff, o.y, o.z)
+    t = jnp.zeros(n)
+    state = rng_mod2.seed_perf(jnp.arange(n, dtype=jnp.uint32),
+                               jnp.zeros(n, jnp.uint32), 0)
+    mask = jnp.ones(n, bool)
+    for up in (True, False):
+        rng2, hit = intersect_scene(scene, o, d, t, state, mask,
+                                    exact=False, use_pallas=up)
+        hits = np.asarray(hit.hit)
+        ts = np.asarray(hit.t)
+        # straight rays hit the rect at t=2
+        assert hits[::2].all()
+        np.testing.assert_allclose(ts[::2], 2.0, atol=1e-5)
+        # offset rays miss everything
+        assert not hits[1::2].any()
