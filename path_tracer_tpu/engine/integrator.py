@@ -274,6 +274,8 @@ class _WaveState(NamedTuple):
     bounces: jnp.ndarray   # int32 bounce count of the current path
     acc: Vec3              # per-lane accumulated pixel radiance
     segments: jnp.ndarray  # int64-ish f32 counter of traced segments
+    iters: jnp.ndarray     # f32 count of while_loop iterations (occupancy
+                           # diagnostic: segments / (iters * n_lanes))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 11))
@@ -337,6 +339,7 @@ def _render_wavefront_jit(scene: T.Scene, cam: Camera, width: int,
             bounces=jnp.zeros(n_lanes, jnp.int32),
             acc=Vec3.zeros((n_lanes,)),
             segments=jnp.zeros((), jnp.float32),
+            iters=jnp.zeros((), jnp.float32),
         )
 
         def cond(ws: _WaveState):
@@ -362,7 +365,7 @@ def _render_wavefront_jit(scene: T.Scene, cam: Camera, width: int,
             st = start_paths(ws.pix, s, regen, st)
             bounces = jnp.where(regen, 0, bounces)
             return _WaveState(path=st, pix=ws.pix, s=s, bounces=bounces,
-                              acc=acc, segments=segs)
+                              acc=acc, segments=segs, iters=ws.iters + 1.0)
 
         ws = jax.lax.while_loop(cond, body, ws0)
         acc = ws.acc
@@ -371,21 +374,22 @@ def _render_wavefront_jit(scene: T.Scene, cam: Camera, width: int,
             jnp.sum(acc.y.reshape(slots, tile_pix), axis=0),
             jnp.sum(acc.z.reshape(slots, tile_pix), axis=0),
         ])
-        return part, ws.segments
+        return part, ws.segments, ws.iters
 
     def step(t_idx, carry):
-        fb, segs = carry
-        part, s = render_tile(t_idx)
+        fb, segs, iters = carry
+        part, s, it = render_tile(t_idx)
         fb = jax.lax.dynamic_update_slice(
             fb, jax.lax.dynamic_slice(
                 fb, (0, t_idx * tile_pix), (3, tile_pix)) + part,
             (0, t_idx * tile_pix))
-        return fb, segs + s
+        return fb, segs + s, iters + it
 
     fb0 = jnp.zeros((3, n_tiles * tile_pix), jnp.float32)
-    fb, segments = jax.lax.fori_loop(0, n_tiles, step,
-                                     (fb0, jnp.zeros((), jnp.float32)))
-    return fb[:, :n_pix] / jnp.float32(spp), segments
+    fb, segments, iters = jax.lax.fori_loop(
+        0, n_tiles, step,
+        (fb0, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)))
+    return fb[:, :n_pix] / jnp.float32(spp), segments, iters
 
 
 def render_wavefront(scene: T.Scene, cam: Camera, width: int, height: int,
@@ -393,10 +397,12 @@ def render_wavefront(scene: T.Scene, cam: Camera, width: int, height: int,
                      attenuate_emission: bool = False, t_min: float = 1e-3,
                      seed: int = 0, tile_pix: Optional[int] = None,
                      slots: Optional[int] = None,
-                     return_segments: bool = False, use_pallas=None):
+                     return_segments: bool = False, use_pallas=None,
+                     return_stats: bool = False):
     """Regenerating single-dispatch renderer — the perf default.  Output
-    (H, W, 3) (+ traced segment count if requested).  use_pallas=None picks
-    the fused VMEM sphere kernel automatically on TPU backends.
+    (H, W, 3) (+ traced segment count if requested; return_stats adds the
+    loop-iteration count for occupancy diagnostics).  use_pallas=None picks
+    the fused VMEM megakernel automatically on TPU backends.
 
     Default tiling: with the pallas fold (no (N, P) HBM temporaries) the
     whole frame is ONE tile and each lane works through its pixel's samples
@@ -420,10 +426,14 @@ def render_wavefront(scene: T.Scene, cam: Camera, width: int, height: int,
     slots = max(1, min(slots, spp))
     if use_pallas is None:
         use_pallas = on_tpu and (tile_pix * slots) % 256 == 0
-    fb, segments = _render_wavefront_jit(
+    fb, segments, iters = _render_wavefront_jit(
         scene, cam, width, height, spp, tile_pix, slots, max_depth,
         attenuate_emission, t_min, jnp.uint32(seed), bool(use_pallas))
     img = jnp.stack([fb[0], fb[1], fb[2]], axis=-1).reshape(height, width, 3)
+    if return_stats:
+        return img, {"segments": segments, "iters": iters,
+                     "lanes": tile_pix * slots,
+                     "tiles": -(-n_pix // tile_pix)}
     if return_segments:
         return img, segments
     return img
