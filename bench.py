@@ -17,7 +17,7 @@ import jax
 
 
 def main():
-    from path_tracer_tpu.engine.integrator import render_wavefront
+    from path_tracer_tpu.engine.wave import render_wave
     from path_tracer_tpu.scene.presets import build_final_scene
 
     width, height, depth = 800, 600, 50
@@ -26,16 +26,16 @@ def main():
     backend = jax.default_backend()
     # Full 500spp takes minutes; throughput is linear in spp, so measure a
     # slice that runs in a few seconds and report rays/s.
-    spp = 40 if backend != "cpu" else 2
+    spp = 80 if backend != "cpu" else 2
 
     # warmup / compile (same static shapes as the measured run)
-    img, segs = render_wavefront(scene, cam, width, height, spp,
-                                 max_depth=depth, return_segments=True)
+    img, segs = render_wave(scene, cam, width, height, spp,
+                            max_depth=depth, return_segments=True)
     jax.block_until_ready(segs)
 
     t0 = time.perf_counter()
-    img, segs = render_wavefront(scene, cam, width, height, spp,
-                                 max_depth=depth, return_segments=True)
+    img, segs = render_wave(scene, cam, width, height, spp,
+                            max_depth=depth, return_segments=True)
     segs = float(jax.block_until_ready(segs))
     dt = time.perf_counter() - t0
 

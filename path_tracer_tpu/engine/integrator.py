@@ -201,9 +201,10 @@ def _render_chunk_jit(scene: T.Scene, cam: Camera, width: int, height: int,
     pix_ids = jnp.tile(pix, spp_chunk)
     samp_ids = (samp_start
                 + jnp.repeat(jnp.arange(spp_chunk, dtype=jnp.uint32), n_pix))
-    state = rng_mod.seed_perf(pix_ids, samp_ids, 0)
-    state = state ^ seed.astype(jnp.uint32)
-    state = jnp.where(state == 0, jnp.uint32(rng_mod.INITIAL_STATE), state)
+    # seed goes INSIDE the hash: xoring it into the state afterwards only
+    # perturbs low bits, which the f32 draw conversion (top 24 bits) cannot
+    # see for ~20 xorshift steps — seeds were near-no-ops.
+    state = rng_mod.seed_perf(pix_ids, samp_ids, seed)
 
     state, o, d, t = camera_rays(cam, width, height, pix_ids, state)
     _, rad = trace(scene, o, d, t, state, max_depth, attenuate_emission,
@@ -245,10 +246,7 @@ def _render_fused_jit(scene: T.Scene, cam: Camera, width: int, height: int,
         lanes_pix = jnp.tile(pix, spp_chunk)
         samp = s0 + jnp.repeat(jnp.arange(spp_chunk, dtype=jnp.uint32),
                                tile_pix)
-        state = rng_mod.seed_perf(lanes_pix, samp, 0)
-        state = state ^ seed.astype(jnp.uint32)
-        state = jnp.where(state == 0, jnp.uint32(rng_mod.INITIAL_STATE),
-                          state)
+        state = rng_mod.seed_perf(lanes_pix, samp, seed)
         state, o, d, t = camera_rays(cam, width, height, lanes_pix, state)
         _, rad = trace(scene, o, d, t, state, max_depth,
                        attenuate_emission, t_min)
@@ -305,8 +303,8 @@ def _render_wavefront_jit(scene: T.Scene, cam: Camera, width: int,
     slot_id = jnp.repeat(jnp.arange(slots, dtype=jnp.uint32), tile_pix)
 
     def lane_seed(pix, s):
-        st = rng_mod.seed_perf(pix, s, 0) ^ seed.astype(jnp.uint32)
-        return jnp.where(st == 0, jnp.uint32(rng_mod.INITIAL_STATE), st)
+        # seed inside the hash (see _render_chunk_jit note)
+        return rng_mod.seed_perf(pix, s, seed)
 
     def start_paths(pix, s, mask, st: PathState) -> PathState:
         """(Re)start camera paths on masked lanes (others untouched)."""
