@@ -66,44 +66,54 @@ def _run_phase(tables: WB.SceneTables, st: WB.WaveState, atlas: jnp.ndarray,
                tile_rows: int, interpret: bool
                ) -> Tuple[WB.WaveState, jnp.ndarray]:
     """Run the bounce loop until every lane has exhausted its samples.
-    Returns (final state, traced segment count)."""
-    n_atlas = atlas.shape[0]
+    Returns (final state, traced segment count).
 
-    def step(st):
-        segs = jnp.sum(st.alive)   # lanes advanced by this bounce
-        out = WB.wave_bounce(tables, st, t_min=t_min, max_depth=max_depth,
-                             attenuate=attenuate, tile_rows=tile_rows,
-                             interpret=interpret)
-        st2 = out.state
-        # image-texture fixup: the one gather per bounce (texture.hpp:144-150)
+    Per-iteration XLA work is ONE flat u32 gather (the atlas texel for the
+    previous bounce's image-texture fixup, applied inside the next kernel
+    call) plus the `any(alive)` loop condition; everything else lives in
+    the pallas kernel.  Segment counts come from the kernel's per-lane
+    `wrk` accumulator, not a per-step reduction."""
+    n_atlas = atlas.shape[0]
+    # pack atlas rgb-u8 rows into one u32 per texel; XLA hoists this out
+    # of the loop (texture.hpp:139-150 sampling happens in-kernel).
+    a32 = atlas.astype(jnp.uint32)
+    atlas_u32 = a32[:, 0] | (a32[:, 1] << 8) | (a32[:, 2] << 16)
+
+    def gather_texels(out: WB.WaveOut) -> jnp.ndarray:
         idx = jnp.clip(out.fix_idx.astype(jnp.int32), 0, n_atlas - 1)
-        texel = jnp.take(atlas, idx, axis=0).astype(jnp.float32) * (1.0 / 255.0)
-        is_alb = out.fix_kind == WB.FIX_ALBEDO
-        is_emit = out.fix_kind == WB.FIX_EMIT
-        st2 = st2._replace(
-            tpx=jnp.where(is_alb, st2.tpx * texel[..., 0], st2.tpx),
-            tpy=jnp.where(is_alb, st2.tpy * texel[..., 1], st2.tpy),
-            tpz=jnp.where(is_alb, st2.tpz * texel[..., 2], st2.tpz),
-            accx=st2.accx + jnp.where(is_emit, out.fwx * texel[..., 0], 0.0),
-            accy=st2.accy + jnp.where(is_emit, out.fwy * texel[..., 1], 0.0),
-            accz=st2.accz + jnp.where(is_emit, out.fwz * texel[..., 2], 0.0),
-        )
-        return st2, segs
+        return jnp.take(atlas_u32, idx, axis=0)
+
+    step0 = functools.partial(WB.wave_bounce, t_min=t_min,
+                              max_depth=max_depth, attenuate=attenuate,
+                              tile_rows=tile_rows, interpret=interpret)
 
     # first step starts the initial paths (all lanes enter dead with
     # s = -stride, so the kernel's regeneration path launches them)
-    st, _ = step(st)
+    out = step0(tables, st)
 
-    def cond(carry):
-        st, _segs = carry
-        return jnp.any(st.alive > 0.0)
+    def cond(out: WB.WaveOut):
+        return jnp.any(out.state.alive > 0.0)
 
-    def body(carry):
-        st, segs = carry
-        st, ds = step(st)
-        return st, segs + ds
+    def body(out: WB.WaveOut):
+        return step0(tables, out.state, out, gather_texels(out))
 
-    st, segs = jax.lax.while_loop(cond, body, (st, jnp.zeros((), jnp.float32)))
+    out = jax.lax.while_loop(cond, body, out)
+
+    # loop exits with at most an EMIT fixup pending (ALBEDO is gated on the
+    # lane staying alive); apply it in XLA.
+    st = out.state
+    texel = gather_texels(out)
+    scale = jnp.float32(1.0 / 255.0)
+    txr = (texel & 0xFF).astype(jnp.float32) * scale
+    txg = ((texel >> 8) & 0xFF).astype(jnp.float32) * scale
+    txb = ((texel >> 16) & 0xFF).astype(jnp.float32) * scale
+    is_emit = out.fix_kind == WB.FIX_EMIT
+    st = st._replace(
+        accx=st.accx + jnp.where(is_emit, out.fwx * txr, 0.0),
+        accy=st.accy + jnp.where(is_emit, out.fwy * txg, 0.0),
+        accz=st.accz + jnp.where(is_emit, out.fwz * txb, 0.0),
+    )
+    segs = jnp.sum(st.wrk)
     return st, segs
 
 
@@ -191,7 +201,9 @@ def render_wave(scene: T.Scene, cam: Camera, width: int, height: int,
     if tile_rows is None:
         tile_rows = WB.DEF_TILE_ROWS if not interpret else 8
     if spp_a is None:
-        spp_a = max(1, min(spp // 8, 8))
+        # phase A runs at lane==pixel occupancy (~mean/max path length, bad)
+        # purely to measure per-pixel cost — keep it tiny.
+        spp_a = max(1, min(spp // 64, 2))
     spp_a = min(spp_a, spp)
     img, segs = _render_wave_jit(scene, cam, width, height, spp, max_depth,
                                  bool(attenuate_emission), float(t_min),

@@ -387,6 +387,10 @@ def _wave_kernel(# SMEM tables
                  ox, oy, oz, dx, dy, dz, tm, rng, tpx, tpy, tpz,
                  radx, rady, radz, accx, accy, accz, alive, s, bnc, wrk,
                  pix, send, strd,
+                 # deferred image-texture fixup from the PREVIOUS bounce:
+                 # fk_in/fw*_in are last call's fix outputs, texel is the
+                 # XLA-gathered atlas pixel (packed u32 R|G<<8|B<<16)
+                 fk_in, fwx_in, fwy_in, fwz_in, texel,
                  # outs
                  o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tm, o_rng,
                  o_tpx, o_tpy, o_tpz, o_radx, o_rady, o_radz,
@@ -402,6 +406,24 @@ def _wave_kernel(# SMEM tables
     tpxv, tpyv, tpzv = tpx[:, :], tpy[:, :], tpz[:, :]
     rxv, ryv, rzv = radx[:, :], rady[:, :], radz[:, :]
     alive_b = alive[:, :] > 0.0
+
+    # ---- apply the deferred fixup (texture.hpp:144-150 scale 1/255) ------
+    tex_u = texel[:, :]
+    scale = f32(1.0 / 255.0)
+    txr = (tex_u & jnp.uint32(0xFF)).astype(jnp.int32).astype(f32) * scale
+    txg = ((tex_u >> 8) & jnp.uint32(0xFF)).astype(jnp.int32).astype(f32) \
+        * scale
+    txb = ((tex_u >> 16) & jnp.uint32(0xFF)).astype(jnp.int32).astype(f32) \
+        * scale
+    fkv = fk_in[:, :]
+    is_alb_fix = fkv == f32(FIX_ALBEDO)
+    is_emit_fix = fkv == f32(FIX_EMIT)
+    tpxv = jnp.where(is_alb_fix, tpxv * txr, tpxv)
+    tpyv = jnp.where(is_alb_fix, tpyv * txg, tpyv)
+    tpzv = jnp.where(is_alb_fix, tpzv * txb, tpzv)
+    acc_x0 = accx[:, :] + jnp.where(is_emit_fix, fwx_in[:, :] * txr, 0.0)
+    acc_y0 = accy[:, :] + jnp.where(is_emit_fix, fwy_in[:, :] * txg, 0.0)
+    acc_z0 = accz[:, :] + jnp.where(is_emit_fix, fwz_in[:, :] * txb, 0.0)
 
     a = dxv * dxv + dyv * dyv + dzv * dzv
     a_safe = jnp.where(a == 0.0, 1.0, a)
@@ -903,12 +925,15 @@ def _wave_kernel(# SMEM tables
     alive_n = cont & jnp.logical_not(exhausted)
     finished = alive_b & jnp.logical_not(alive_n)
 
-    acx_n = accx[:, :] + jnp.where(finished, rxv, 0.0)
-    acy_n = accy[:, :] + jnp.where(finished, ryv, 0.0)
-    acz_n = accz[:, :] + jnp.where(finished, rzv, 0.0)
+    acx_n = acc_x0 + jnp.where(finished, rxv, 0.0)
+    acy_n = acc_y0 + jnp.where(finished, ryv, 0.0)
+    acz_n = acc_z0 + jnp.where(finished, rzv, 0.0)
 
-    # fixups for image-texture lanes (resolved outside the kernel)
-    fk = jnp.where(cont & tk_image, f32(FIX_ALBEDO),
+    # fixups for image-texture lanes, applied at the START of the next
+    # call (or by wave.apply_emit_fix after the loop).  ALBEDO is gated on
+    # alive_n: a depth-exhausted path returns black (render.hpp:91), so a
+    # pending throughput multiply must not leak onto the regenerated lane.
+    fk = jnp.where(alive_n & tk_image, f32(FIX_ALBEDO),
                    jnp.where(stop_emit & tk_image, f32(FIX_EMIT),
                              f32(FIX_NONE)))
     o_fix_kind[:, :] = fk
@@ -1011,16 +1036,32 @@ class WaveOut(NamedTuple):
     fwz: jnp.ndarray
 
 
-def wave_bounce(tables: SceneTables, st: WaveState, *, t_min: float,
+def zero_fix(rows: int) -> Tuple[jnp.ndarray, ...]:
+    """(fix_kind, fwx, fwy, fwz, texel) inputs for the first bounce."""
+    z = jnp.zeros((rows, LANE), jnp.float32)
+    return (z, z, z, z, jnp.zeros((rows, LANE), jnp.uint32))
+
+
+def wave_bounce(tables: SceneTables, st: WaveState,
+                fix=None, texel: jnp.ndarray = None, *, t_min: float,
                 max_depth: int, attenuate: bool,
                 tile_rows: int = DEF_TILE_ROWS,
                 interpret: bool = False) -> WaveOut:
     """One bounce for every lane.  Lane count = rows*128 with rows a
-    multiple of tile_rows."""
+    multiple of tile_rows.  `fix` is the previous call's WaveOut (or None
+    for the first bounce) and `texel` the atlas texels for its fix_idx,
+    packed u32 R|G<<8|B<<16 — the deferred image-texture fixup."""
     rows = st.ox.shape[0]
     assert rows % tile_rows == 0, (rows, tile_rows)
     grid = rows // tile_rows
     n_med = tables.med.shape[1]
+
+    if fix is None:
+        fk_in, fwx_in, fwy_in, fwz_in, texel = zero_fix(rows)
+    else:
+        fk_in, fwx_in, fwy_in, fwz_in = (fix.fix_kind, fix.fwx, fix.fwy,
+                                         fix.fwz)
+        assert texel is not None
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vspec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
@@ -1037,7 +1078,7 @@ def wave_bounce(tables: SceneTables, st: WaveState, *, t_min: float,
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[smem] * 10 + [vspec] * 24,
+        in_specs=[smem] * 10 + [vspec] * 29,
         out_specs=[vspec] * 26,
         out_shape=out_shape,
         interpret=interpret,
@@ -1047,7 +1088,8 @@ def wave_bounce(tables: SceneTables, st: WaveState, *, t_min: float,
       st.ox, st.oy, st.oz, st.dx, st.dy, st.dz, st.tm, st.rng,
       st.tpx, st.tpy, st.tpz, st.radx, st.rady, st.radz,
       st.accx, st.accy, st.accz, st.alive, st.s, st.bnc, st.wrk,
-      st.pix, st.send, st.strd)
+      st.pix, st.send, st.strd,
+      fk_in, fwx_in, fwy_in, fwz_in, texel)
     new = WaveState(*outs[:21], pix=st.pix, send=st.send, strd=st.strd)
     return WaveOut(state=new, fix_kind=outs[21], fix_idx=outs[22],
                    fwx=outs[23], fwy=outs[24], fwz=outs[25])
