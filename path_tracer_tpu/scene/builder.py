@@ -20,8 +20,9 @@ Scan indices record each hittable's position in the insertion order so the
 device kernels can reproduce the reference's linear-scan hit resolution
 (render.hpp:37-49) and the medium's position-dependent RNG semantics.
 
-If the optional native packer (see ``native/``) is built, ``build`` delegates
-the array packing to C++; otherwise it packs with NumPy.
+Packing runs in NumPy at scene-build time (host side, once per scene); the
+native C++ runtime under ``native/`` covers the image-output path
+(tonemap + PNG encode), not scene packing.
 """
 from __future__ import annotations
 

@@ -49,10 +49,10 @@ def checked_render(scene: T.Scene, cam, width: int, height: int, spp: int,
 
     def render_one_spp(s):
         samp = jnp.full((n,), s, jnp.uint32)
-        state = rng_mod.seed_perf(pix_ids, samp, 0)
-        state = state ^ jnp.uint32(seed)
-        state = jnp.where(state == 0, jnp.uint32(rng_mod.INITIAL_STATE),
-                          state)
+        # seed goes INSIDE the hash (a post-hash xor only perturbs low
+        # bits the f32 draw conversion cannot see) — matches seed_perf
+        # usage in the renderers (engine/integrator.py).
+        state = rng_mod.seed_perf(pix_ids, samp, seed)
         state, o, d, t = camera_rays(cam, width, height, pix_ids, state)
         _, rad = trace(scene, o, d, t, state, max_depth,
                        attenuate_emission, t_min)

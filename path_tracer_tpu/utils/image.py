@@ -24,16 +24,16 @@ def tonemap(fb: np.ndarray) -> np.ndarray:
 
 
 def save_png(path: str, fb: np.ndarray) -> None:
-    pix = tonemap(fb)
     try:
         from ..native import runtime as native_rt
         if native_rt.available():
-            native_rt.write_png(path, pix)
+            # one native call: tonemap + PNG encode + write
+            native_rt.save_framebuffer_png(path, np.asarray(fb, np.float32))
             return
     except Exception:
         pass
     from PIL import Image
-    Image.fromarray(pix, "RGB").save(path)
+    Image.fromarray(tonemap(fb), "RGB").save(path)
 
 
 def dump_ppm(fb: np.ndarray) -> str:

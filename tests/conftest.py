@@ -43,3 +43,17 @@ def pytest_cmdline_main(config):
 
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def pytest_configure(config):
+    """Build the native host runtime so its tests run instead of skipping
+    (best-effort: missing toolchain just leaves the PIL fallback paths)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lib = os.path.join(root, "native", "libptruntime.so")
+    if not os.path.exists(lib):
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", os.path.join(root, "native")],
+                           capture_output=True, timeout=120, check=False)
+        except Exception:
+            pass

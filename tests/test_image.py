@@ -52,3 +52,19 @@ def test_native_runtime_if_built(tmp_path):
     from PIL import Image
     back = np.asarray(Image.open(path))
     np.testing.assert_array_equal(back, img)
+
+
+def test_native_tonemap_matches_numpy(tmp_path):
+    """C++ pt_tonemap / pt_save_framebuffer_png agree bit-for-bit with the
+    NumPy reference tonemap (main.cpp:41-49 semantics)."""
+    from path_tracer_tpu.native import runtime as rt
+    if not rt.available():
+        pytest.skip("native runtime not built (make -C native)")
+    fb = np.random.RandomState(1).uniform(0, 1.4, (9, 7, 3)).astype(
+        np.float32)
+    np.testing.assert_array_equal(rt.tonemap(fb), im.tonemap(fb))
+    path = str(tmp_path / "fb.png")
+    rt.save_framebuffer_png(path, fb)
+    from PIL import Image
+    back = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(back, im.tonemap(fb))
