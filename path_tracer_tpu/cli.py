@@ -31,9 +31,14 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="samples per pixel")
     r.add_argument("--max-depth", type=int, default=None,
                    help="bounce depth (reference: 50, render.hpp:144)")
-    r.add_argument("--renderer", default="wavefront",
-                   choices=["wavefront", "fused", "perf", "parity"],
-                   help="launch strategy; parity = reference RNG streams")
+    r.add_argument("--renderer", default="auto",
+                   choices=["auto", "wq", "wave", "wavefront", "fused",
+                            "perf", "parity"],
+                   help="launch strategy: wq = work-queue megakernel (the "
+                        "TPU production path, auto default on accelerators);"
+                        " wave = two-phase megakernel; wavefront = jnp "
+                        "bounce loop (auto default on CPU); parity = "
+                        "reference RNG streams")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--t-min", type=float, default=1e-3)
     r.add_argument("--attenuate-emission", action="store_true",
@@ -109,6 +114,12 @@ def _cmd_render(args) -> int:
         scene, cam = preset.build()
     timer = profiling.PhaseTimer()
 
+    renderer = cfg.renderer
+    if renderer == "auto":
+        # the megakernel queue is the production path on accelerators; the
+        # jnp bounce loop is faster than interpret-mode pallas on CPU
+        renderer = "wq" if jax.default_backend() != "cpu" else "wavefront"
+
     segments = None
     with profiling.trace(cfg.profile_dir):
         with timer.phase("compile+render"):
@@ -118,18 +129,30 @@ def _cmd_render(args) -> int:
                     cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
                     cfg.seed, cfg.checkpoint_dir, cfg.checkpoint_every,
                     scene_name=cfg.scene)
-            elif cfg.renderer == "wavefront":
+            elif renderer == "wq":
+                from .engine.wq import render_wq
+                img, segments, _ = render_wq(
+                    scene, cam, cfg.width, cfg.height, cfg.spp,
+                    cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
+                    cfg.seed, return_stats=True)
+            elif renderer == "wave":
+                from .engine.wave import render_wave
+                img, segments = render_wave(
+                    scene, cam, cfg.width, cfg.height, cfg.spp,
+                    cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
+                    cfg.seed, return_segments=True)
+            elif renderer == "wavefront":
                 img, segments = render_wavefront(
                     scene, cam, cfg.width, cfg.height, cfg.spp,
                     cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
                     cfg.seed, cfg.tile_pix, cfg.slots,
                     return_segments=True, use_pallas=cfg.use_pallas)
-            elif cfg.renderer == "fused":
+            elif renderer == "fused":
                 img = render_fused(scene, cam, cfg.width, cfg.height,
                                    cfg.spp, cfg.max_depth,
                                    cfg.attenuate_emission, cfg.t_min,
                                    cfg.seed)
-            elif cfg.renderer == "perf":
+            elif renderer == "perf":
                 img = render_perf(scene, cam, cfg.width, cfg.height,
                                   cfg.spp, cfg.max_depth,
                                   cfg.attenuate_emission, cfg.t_min,
@@ -164,19 +187,23 @@ def main(argv=None) -> int:
         # delegate to repo-root bench.py semantics: render the headline
         # config on the current backend and print one JSON line
         import jax
-        from .engine.integrator import render_wavefront
         from .scene.presets import PRESETS
         name = args.scene
         p = PRESETS[name]
-        spp = args.spp or (4 if jax.default_backend() == "cpu" else 40)
+        on_cpu = jax.default_backend() == "cpu"
+        spp = args.spp or (2 if on_cpu else 40)
         scene, cam = p.build()
-        img, segs = render_wavefront(scene, cam, p.width, p.height, spp,
-                                     p.max_depth, return_segments=True)
-        jax.block_until_ready(segs)
+        if on_cpu:
+            from .engine.integrator import render_wavefront as _render
+            run = lambda: _render(scene, cam, p.width, p.height, spp,
+                                  p.max_depth, return_segments=True)[1]
+        else:
+            from .engine.wq import render_wq
+            run = lambda: render_wq(scene, cam, p.width, p.height, spp,
+                                    p.max_depth, return_stats=True)[1]
+        jax.block_until_ready(run())
         t0 = time.perf_counter()
-        img, segs = render_wavefront(scene, cam, p.width, p.height, spp,
-                                     p.max_depth, return_segments=True)
-        segs = float(jax.block_until_ready(segs))
+        segs = float(jax.block_until_ready(run()))
         dt = time.perf_counter() - t0
         print(json.dumps({
             "metric": f"forward Mray/s ({name})",

@@ -28,7 +28,9 @@ class RenderConfig:
     height: int = 480
     spp: int = 100
     max_depth: int = 50
-    renderer: str = "wavefront"      # wavefront | fused | perf | parity
+    # wq = work-queue megakernel (TPU default) | wave = two-phase
+    # megakernel | wavefront (jnp) | fused | perf | parity
+    renderer: str = "auto"
     seed: int = 0
     t_min: float = 1e-3
     # False replicates the reference's emission quirk (render.hpp:73):
@@ -50,7 +52,8 @@ class RenderConfig:
         if self.scene not in PRESETS:
             raise ValueError(
                 f"unknown scene {self.scene!r}; have {sorted(PRESETS)}")
-        if self.renderer not in ("wavefront", "fused", "perf", "parity"):
+        if self.renderer not in ("auto", "wq", "wave", "wavefront",
+                                 "fused", "perf", "parity"):
             raise ValueError(f"unknown renderer {self.renderer!r}")
         for f in ("width", "height", "spp", "max_depth"):
             if getattr(self, f) <= 0:
