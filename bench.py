@@ -5,8 +5,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 "ray" counts traced path segments (one intersect+scatter of a live lane) —
 the standard wavefront throughput unit; the JSON also carries camera
-rays (samples) per second and the measured average path length for
-context.  Baseline target: 200 Mray/s/chip.
+rays (samples) per second, the measured average path length, and the
+work-queue occupancy (segments traced / lane-steps available) for context.
+Baseline target: 200 Mray/s/chip.
 """
 from __future__ import annotations
 
@@ -17,7 +18,7 @@ import jax
 
 
 def main():
-    from path_tracer_tpu.engine.wave import render_wave
+    from path_tracer_tpu.engine.wq import render_wq
     from path_tracer_tpu.scene.presets import build_final_scene
 
     width, height, depth = 800, 600, 50
@@ -28,19 +29,23 @@ def main():
     # slice that runs in a few seconds and report rays/s.
     spp = 80 if backend != "cpu" else 2
 
-    # warmup / compile (same static shapes as the measured run)
-    img, segs = render_wave(scene, cam, width, height, spp,
-                            max_depth=depth, return_segments=True)
-    jax.block_until_ready(segs)
+    def run():
+        img, segs, iters = render_wq(scene, cam, width, height, spp,
+                                     max_depth=depth, return_stats=True)
+        return img, float(jax.block_until_ready(segs)), int(iters)
+
+    img, segs, iters = run()  # warmup / compile
 
     t0 = time.perf_counter()
-    img, segs = render_wave(scene, cam, width, height, spp,
-                            max_depth=depth, return_segments=True)
-    segs = float(jax.block_until_ready(segs))
+    img, segs, iters = run()
     dt = time.perf_counter() - t0
 
     samples = width * height * spp
     mray_s = segs / dt / 1e6
+    # lane count mirrors engine.wq._render_wq_jit's rounding
+    from path_tracer_tpu.engine.wq import DEF_TILE_ROWS, LANE, _round_up
+    n_lanes = _round_up(min(width * height, samples),
+                        DEF_TILE_ROWS * LANE)
     print(json.dumps({
         "metric": "forward Mray/s/chip (traced segments), final scene "
                   "800x600 depth50",
@@ -49,6 +54,8 @@ def main():
         "vs_baseline": round(mray_s / 200.0, 4),
         "camera_mray_s": round(samples / dt / 1e6, 3),
         "avg_path_len": round(segs / samples, 3),
+        "occupancy": round(segs / (iters * n_lanes), 3),
+        "wq_iters": iters,
         "backend": backend,
     }))
 

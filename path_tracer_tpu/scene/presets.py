@@ -9,8 +9,12 @@ device RNG so the scene is bit-identical to what the NumPy oracle builds.
 
 Note on C++ evaluation order: ``point center(a + 0.9f*rng.float_t(), 0.2f,
 b + 0.9f*rng.float_t())`` (main.cpp:82) has unspecified argument evaluation
-order in C++; we pin left-to-right (x draw first) and use the same order
-everywhere.
+order in C++.  GCC (which builds the reference golden — see
+tools/ref_parity/) evaluates constructor arguments RIGHT-to-left, so the
+z jitter is drawn before the x jitter; ``final_scene`` matches that
+(verified against the compiled reference via tools/ref_parity/probe_scene).
+The other multi-draw expression, ``rng.vec_t() * rng.vec_t()``
+(main.cpp:87), is order-insensitive: elementwise product commutes.
 """
 from __future__ import annotations
 
@@ -222,8 +226,10 @@ def build_final_scene(aspect: float) -> Tuple[Scene, Camera]:
     for a in range(-11, 11):
         for b in range(-11, 11):
             choose_mat = rng.float_t()                         # main.cpp:80
-            cx = np.float32(a) + np.float32(0.9) * rng.float_t()
+            # main.cpp:82 — gcc evaluates the ctor args right-to-left:
+            # the z jitter is drawn BEFORE the x jitter (module docstring)
             cz = np.float32(b) + np.float32(0.9) * rng.float_t()
+            cx = np.float32(a) + np.float32(0.9) * rng.float_t()
             center = np.array([cx, np.float32(0.2), cz], np.float32)
             d = center - np.array([4, 0.2, 0], np.float32)
             if not float(np.sqrt(np.float32(np.sum(d * d)))) > 0.9:
