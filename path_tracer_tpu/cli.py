@@ -32,11 +32,12 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--max-depth", type=int, default=None,
                    help="bounce depth (reference: 50, render.hpp:144)")
     r.add_argument("--renderer", default="auto",
-                   choices=["auto", "wq", "wave", "wavefront", "fused",
-                            "perf", "parity"],
-                   help="launch strategy: wq = work-queue megakernel (the "
-                        "TPU production path, auto default on accelerators);"
-                        " wave = two-phase megakernel; wavefront = jnp "
+                   choices=["auto", "wq2", "wq", "wave", "wavefront",
+                            "fused", "perf", "parity"],
+                   help="launch strategy: wq2 = B-bounce in-kernel-queue "
+                        "megakernel (the TPU production path, auto default "
+                        "on accelerators); wq = one-bounce work-queue; "
+                        "wave = two-phase megakernel; wavefront = jnp "
                         "bounce loop (auto default on CPU); parity = "
                         "reference RNG streams")
     r.add_argument("--seed", type=int, default=0)
@@ -118,7 +119,7 @@ def _cmd_render(args) -> int:
     if renderer == "auto":
         # the megakernel queue is the production path on accelerators; the
         # jnp bounce loop is faster than interpret-mode pallas on CPU
-        renderer = "wq" if jax.default_backend() != "cpu" else "wavefront"
+        renderer = "wq2" if jax.default_backend() != "cpu" else "wavefront"
 
     segments = None
     with profiling.trace(cfg.profile_dir):
@@ -129,6 +130,12 @@ def _cmd_render(args) -> int:
                     cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
                     cfg.seed, cfg.checkpoint_dir, cfg.checkpoint_every,
                     scene_name=cfg.scene)
+            elif renderer == "wq2":
+                from .engine.wq2 import render_wq2
+                img, segments, _ = render_wq2(
+                    scene, cam, cfg.width, cfg.height, cfg.spp,
+                    cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
+                    cfg.seed, return_stats=True)
             elif renderer == "wq":
                 from .engine.wq import render_wq
                 img, segments, _ = render_wq(
@@ -198,9 +205,9 @@ def main(argv=None) -> int:
             run = lambda: _render(scene, cam, p.width, p.height, spp,
                                   p.max_depth, return_segments=True)[1]
         else:
-            from .engine.wq import render_wq
-            run = lambda: render_wq(scene, cam, p.width, p.height, spp,
-                                    p.max_depth, return_stats=True)[1]
+            from .engine.wq2 import render_wq2
+            run = lambda: render_wq2(scene, cam, p.width, p.height, spp,
+                                     p.max_depth, return_stats=True)[1]
         jax.block_until_ready(run())
         t0 = time.perf_counter()
         segs = float(jax.block_until_ready(run()))

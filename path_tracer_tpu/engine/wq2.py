@@ -60,7 +60,11 @@ def _zeros_state(rows: int) -> WQ.WqState:
         rng=jnp.zeros(sh, jnp.uint32),
         tpx=z, tpy=z, tpz=z, accx=z, accy=z, accz=z,
         alive=z, s=z, pix=z, bnc=z, wrk=z, stall=z,
-        pf1=z, pf2=z, pf3=z, trx=z, tr_y=z, trz=z)
+        pf1=z, pf2=z, pf3=z, trx=z, tr_y=z, trz=z,
+        pk1=z, pk2=z, pk3=z, pk4=z,
+        pkr1=z, pkr2=z, pkr3=z, pkr4=z,
+        pkg1=z, pkg2=z, pkg3=z, pkg4=z,
+        pkb1=z, pkb2=z, pkb3=z, pkb4=z)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
@@ -115,6 +119,19 @@ def _render_wq2_jit(scene: T.Scene, cam: Camera, width: int, height: int,
         fbg = fbg.at[di].add(out.dg.reshape(-1), mode="drop")
         fbb = fbb.at[di].add(out.db.reshape(-1), mode="drop")
 
+        # parked single-texel sample terminals: acc += term * texel
+        ax, ay, az = st.accx, st.accy, st.accz
+        for pk, tr, tg, tb in ((st.pk1, st.pkr1, st.pkg1, st.pkb1),
+                               (st.pk2, st.pkr2, st.pkg2, st.pkb2),
+                               (st.pk3, st.pkr3, st.pkg3, st.pkb3),
+                               (st.pk4, st.pkr4, st.pkg4, st.pkb4)):
+            kr, kg, kb = texel_factor(pk)
+            has = pk > 0.0
+            ax = ax + jnp.where(has, tr * kr, 0.0)
+            ay = ay + jnp.where(has, tg * kg, 0.0)
+            az = az + jnp.where(has, tb * kb, 0.0)
+        z = jnp.zeros_like(st.pk1)
+
         # stall resolution: texel product of the pending slots
         any_stall = st.stall != 0.0
         f1 = texel_factor(st.pf1)
@@ -126,16 +143,17 @@ def _render_wq2_jit(scene: T.Scene, cam: Camera, width: int, height: int,
         is1 = st.stall == WQ.ST_TERM
         is2 = st.stall == WQ.ST_REWIND
         st = st._replace(
-            accx=jnp.where(is1, st.accx + st.trx * pr, st.accx),
-            accy=jnp.where(is1, st.accy + st.tr_y * pg, st.accy),
-            accz=jnp.where(is1, st.accz + st.trz * pb, st.accz),
+            accx=jnp.where(is1, ax + st.trx * pr, ax),
+            accy=jnp.where(is1, ay + st.tr_y * pg, ay),
+            accz=jnp.where(is1, az + st.trz * pb, az),
             tpx=jnp.where(is2, st.tpx * pr, st.tpx),
             tpy=jnp.where(is2, st.tpy * pg, st.tpy),
             tpz=jnp.where(is2, st.tpz * pb, st.tpz),
             pf1=jnp.where(any_stall, 0.0, st.pf1),
             pf2=jnp.where(any_stall, 0.0, st.pf2),
             pf3=jnp.where(any_stall, 0.0, st.pf3),
-            stall=jnp.zeros_like(st.stall))
+            stall=jnp.zeros_like(st.stall),
+            pk1=z, pk2=z, pk3=z, pk4=z)
         return st, qs, fbr, fbg, fbb, calls + 1
 
     def cond(carry):

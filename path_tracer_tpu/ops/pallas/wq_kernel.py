@@ -62,6 +62,9 @@ ST_TERM = 1.0    # sample ended; acc += term * prod(texel(pf*)) outside
 ST_REWIND = 2.0  # segment rewound; tp *= prod(texel(pf*)) outside, retry
 
 
+N_PARK = 4
+
+
 class WqState(NamedTuple):
     """Per-lane state, all (rows, 128) f32 except rng (u32)."""
     ox: jnp.ndarray; oy: jnp.ndarray; oz: jnp.ndarray
@@ -78,9 +81,17 @@ class WqState(NamedTuple):
     stall: jnp.ndarray      # ST_*
     pf1: jnp.ndarray; pf2: jnp.ndarray; pf3: jnp.ndarray  # atlas idx + 1
     trx: jnp.ndarray; tr_y: jnp.ndarray; trz: jnp.ndarray  # stall-1 term
+    # park slots: a sample that ENDED with exactly one pending texel parks
+    # its (texel index + 1, term rgb) here and the lane moves on to the
+    # next sample immediately; the driver resolves acc += term * texel(pk)
+    # after the call.  Slots full (or multi-texel pendings) -> stall-1.
+    pk1: jnp.ndarray; pk2: jnp.ndarray; pk3: jnp.ndarray; pk4: jnp.ndarray
+    pkr1: jnp.ndarray; pkr2: jnp.ndarray; pkr3: jnp.ndarray; pkr4: jnp.ndarray
+    pkg1: jnp.ndarray; pkg2: jnp.ndarray; pkg3: jnp.ndarray; pkg4: jnp.ndarray
+    pkb1: jnp.ndarray; pkb2: jnp.ndarray; pkb3: jnp.ndarray; pkb4: jnp.ndarray
 
 
-N_STATE = 26
+N_STATE = 42
 
 
 class WqOut(NamedTuple):
@@ -114,11 +125,19 @@ def _wq_kernel(# SMEM ins
                i_tpx, i_tpy, i_tpz, i_accx, i_accy, i_accz,
                i_alive, i_s, i_pix, i_bnc, i_wrk, i_stall,
                i_pf1, i_pf2, i_pf3, i_trx, i_try, i_trz,
+               i_pk1, i_pk2, i_pk3, i_pk4,
+               i_pkr1, i_pkr2, i_pkr3, i_pkr4,
+               i_pkg1, i_pkg2, i_pkg3, i_pkg4,
+               i_pkb1, i_pkb2, i_pkb3, i_pkb4,
                # outs
                o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tm, o_rng,
                o_tpx, o_tpy, o_tpz, o_accx, o_accy, o_accz,
                o_alive, o_s, o_pix, o_bnc, o_wrk, o_stall,
                o_pf1, o_pf2, o_pf3, o_trx, o_try, o_trz,
+               o_pk1, o_pk2, o_pk3, o_pk4,
+               o_pkr1, o_pkr2, o_pkr3, o_pkr4,
+               o_pkg1, o_pkg2, o_pkg3, o_pkg4,
+               o_pkb1, o_pkb2, o_pkb3, o_pkb4,
                o_dpix, o_dr, o_dg, o_db, qstate_out,
                # scratch
                q,
@@ -140,7 +159,11 @@ def _wq_kernel(# SMEM ins
           i_tpz[:, :], i_accx[:, :], i_accy[:, :], i_accz[:, :],
           i_alive[:, :], i_s[:, :], i_pix[:, :], i_bnc[:, :], i_wrk[:, :],
           i_stall[:, :], i_pf1[:, :], i_pf2[:, :], i_pf3[:, :],
-          i_trx[:, :], i_try[:, :], i_trz[:, :])
+          i_trx[:, :], i_try[:, :], i_trz[:, :],
+          i_pk1[:, :], i_pk2[:, :], i_pk3[:, :], i_pk4[:, :],
+          i_pkr1[:, :], i_pkr2[:, :], i_pkr3[:, :], i_pkr4[:, :],
+          i_pkg1[:, :], i_pkg2[:, :], i_pkg3[:, :], i_pkg4[:, :],
+          i_pkb1[:, :], i_pkb2[:, :], i_pkb3[:, :], i_pkb4[:, :])
     zero = jnp.zeros_like(st[0])
     one = zero + 1.0
     dpix0 = zero - 1.0
@@ -150,7 +173,10 @@ def _wq_kernel(# SMEM ins
     def body(_, carry):
         (ox, oy, oz, dx, dy, dz, tm, rng, tpx, tpy, tpz,
          accx, accy, accz, alive, s, pix, bnc, wrk, stall,
-         pf1, pf2, pf3, trx, try_, trz, dpix, dr, dg, db) = carry
+         pf1, pf2, pf3, trx, try_, trz,
+         pk1, pk2, pk3, pk4, pkr1, pkr2, pkr3, pkr4,
+         pkg1, pkg2, pkg3, pkg4, pkb1, pkb2, pkb3, pkb4,
+         dpix, dr, dg, db) = carry
 
         # ---------------- refill from the queue --------------------------
         not_stalled = stall == f32(ST_NONE)
@@ -158,7 +184,10 @@ def _wq_kernel(# SMEM ins
         schunk = jnp.floor(s * (1.0 / Cf))
         in_chunk = (s - schunk * Cf) != 0.0      # mid-chunk sample pending
         local = dead & in_chunk
-        cand = dead & jnp.logical_not(in_chunk)
+        # a chunk with parked pendings can't be closed out yet: its acc is
+        # incomplete until the driver resolves the parks (slots fill 1->4,
+        # so slot 1 empty == all empty)
+        cand = dead & jnp.logical_not(in_chunk) & (pk1 == 0.0)
         cand_f = jnp.where(cand, 1.0, 0.0)
         rem = q[2]
         rem_f = rem.astype(f32)
@@ -246,13 +275,25 @@ def _wq_kernel(# SMEM ins
             emit_rewind = jnp.zeros_like(emit_img)
             emit_stall = emit_img
 
-        stall1 = ended & (miss_pend | (emit_solid & solid_emit_pend)
-                          | emit_stall) & jnp.logical_not(black)
+        want_pend = ended & (miss_pend | (emit_solid & solid_emit_pend)
+                             | emit_stall) & jnp.logical_not(black)
         # mid-path image albedo: append pending; overflow rewinds segment
         midalb = alive_b & adv.did_scatter & adv.tk_image \
             & jnp.logical_not(exhausted)
         stall2 = (alive_b & ((midalb & pf_full) | emit_rewind))
-        stall1 = stall1 & jnp.logical_not(stall2)
+        want_pend = want_pend & jnp.logical_not(stall2)
+        # single-texel pendings PARK (lane continues with the next sample;
+        # driver resolves acc += term * texel after the call); multi-texel
+        # or park-slots-full fall back to a stall
+        one_pf = (pf1 != 0.0) & (pf2 == 0.0)
+        not_ei = jnp.logical_not(emit_img)
+        # boolean select as logic ops (Mosaic lacks i1 vector selects)
+        if attenuate:
+            single = (emit_img & (pf1 == 0.0)) | (not_ei & one_pf)
+        else:
+            single = emit_img | (not_ei & one_pf)
+        parkable = want_pend & single & (pk4 == 0.0)
+        stall1 = want_pend & jnp.logical_not(parkable)
 
         # inline contributions (no pendings involved)
         c_miss = adv.miss & pf_empty
@@ -279,8 +320,31 @@ def _wq_kernel(# SMEM ins
         try_ = jnp.where(stall1, t1_y, try_)
         trz = jnp.where(stall1, t1_z, trz)
 
-        # pending list updates
+        # park append (slots fill in order 1..4; driver clears all at once)
         idxp1 = adv.atlas_idx + 1.0
+        texsel = jnp.where(emit_img, idxp1, pf1)
+        p1 = parkable & (pk1 == 0.0)
+        p2 = parkable & (pk1 != 0.0) & (pk2 == 0.0)
+        p3 = parkable & (pk1 != 0.0) & (pk2 != 0.0) & (pk3 == 0.0)
+        p4 = parkable & (pk1 != 0.0) & (pk2 != 0.0) & (pk3 != 0.0)
+        pk1 = jnp.where(p1, texsel, pk1)
+        pk2 = jnp.where(p2, texsel, pk2)
+        pk3 = jnp.where(p3, texsel, pk3)
+        pk4 = jnp.where(p4, texsel, pk4)
+        pkr1 = jnp.where(p1, t1_x, pkr1)
+        pkr2 = jnp.where(p2, t1_x, pkr2)
+        pkr3 = jnp.where(p3, t1_x, pkr3)
+        pkr4 = jnp.where(p4, t1_x, pkr4)
+        pkg1 = jnp.where(p1, t1_y, pkg1)
+        pkg2 = jnp.where(p2, t1_y, pkg2)
+        pkg3 = jnp.where(p3, t1_y, pkg3)
+        pkg4 = jnp.where(p4, t1_y, pkg4)
+        pkb1 = jnp.where(p1, t1_z, pkb1)
+        pkb2 = jnp.where(p2, t1_z, pkb2)
+        pkb3 = jnp.where(p3, t1_z, pkb3)
+        pkb4 = jnp.where(p4, t1_z, pkb4)
+
+        # pending list updates
         if attenuate:
             # append emit index on stall-1 of an emissive image texture
             app = (midalb & jnp.logical_not(pf_full)) \
@@ -333,26 +397,44 @@ def _wq_kernel(# SMEM ins
         return (ox_n, oy_n, oz_n, dx_n, dy_n, dz_n, tm, rng_n,
                 tpx_n, tpy_n, tpz_n, accx, accy, accz, alive_n, s_n, pix,
                 bnc_out, wrk_n, stall_n, pf1, pf2, pf3, trx, try_, trz,
+                pk1, pk2, pk3, pk4, pkr1, pkr2, pkr3, pkr4,
+                pkg1, pkg2, pkg3, pkg4, pkb1, pkb2, pkb3, pkb4,
                 dpix, dr, dg, db)
 
     carry0 = st + (dpix0, zero, zero, zero)
     out = jax.lax.fori_loop(0, n_bounce, body, carry0)
     (ox, oy, oz, dx, dy, dz, tm, rng, tpx, tpy, tpz,
      accx, accy, accz, alive, s, pix, bnc, wrk, stall,
-     pf1, pf2, pf3, trx, try_, trz, dpix, dr, dg, db) = out
+     pf1, pf2, pf3, trx, try_, trz,
+     pk1, pk2, pk3, pk4, pkr1, pkr2, pkr3, pkr4,
+     pkg1, pkg2, pkg3, pkg4, pkb1, pkb2, pkb3, pkb4,
+     dpix, dr, dg, db) = out
 
     for ref, val in zip(
             (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tm, o_rng,
              o_tpx, o_tpy, o_tpz, o_accx, o_accy, o_accz,
              o_alive, o_s, o_pix, o_bnc, o_wrk, o_stall,
              o_pf1, o_pf2, o_pf3, o_trx, o_try, o_trz,
+             o_pk1, o_pk2, o_pk3, o_pk4,
+             o_pkr1, o_pkr2, o_pkr3, o_pkr4,
+             o_pkg1, o_pkg2, o_pkg3, o_pkg4,
+             o_pkb1, o_pkb2, o_pkb3, o_pkb4,
              o_dpix, o_dr, o_dg, o_db),
             (ox, oy, oz, dx, dy, dz, tm, rng, tpx, tpy, tpz,
              accx, accy, accz, alive, s, pix, bnc, wrk, stall,
-             pf1, pf2, pf3, trx, try_, trz, dpix, dr, dg, db)):
+             pf1, pf2, pf3, trx, try_, trz,
+             pk1, pk2, pk3, pk4, pkr1, pkr2, pkr3, pkr4,
+             pkg1, pkg2, pkg3, pkg4, pkb1, pkb2, pkb3, pkb4,
+             dpix, dr, dg, db)):
         ref[:, :] = val
 
-    busy = (alive > 0.0) | (stall != 0.0)
+    # busy: running, stalled, mid-chunk (samples of the chunk remain), or
+    # parked pendings (acc incomplete).  A lane that died mid-chunk on the
+    # LAST segment of the call must keep the loop alive or its remaining
+    # samples would never render.
+    schunk_f = jnp.floor(s * (1.0 / f32(chunk)))
+    mid = (s - schunk_f * f32(chunk)) != 0.0
+    busy = (alive > 0.0) | (stall != 0.0) | mid | (pk1 != 0.0)
     q[3] = q[3] + jnp.sum(jnp.where(busy, 1.0, 0.0)).astype(jnp.int32)
 
     @pl.when(pid == nprog - 1)
@@ -383,8 +465,8 @@ def wq_call(tables: SceneTables, st: WqState, qstate: jnp.ndarray, *,
     sds = jax.ShapeDtypeStruct
     sh = (rows, LANE)
     out_shape = ([sds(sh, f32)] * 7 + [sds(sh, jnp.uint32)]
-                 + [sds(sh, f32)] * 18        # tp acc alive s pix bnc wrk
-                                              # stall pf1-3 tr3
+                 + [sds(sh, f32)] * (N_STATE - 8)  # tp acc alive s pix bnc
+                                                   # wrk stall pf tr parks
                  + [sds(sh, f32)] * 4         # dpix dr dg db
                  + [sds((4,), jnp.int32)])    # qstate
     kern = functools.partial(
