@@ -42,10 +42,11 @@ def main():
 
     samples = width * height * spp
     mray_s = segs / dt / 1e6
-    # lane count mirrors engine.wq._render_wq_jit's rounding
+    # lane count mirrors engine.wq.render_wq's rounding, including its
+    # interpret-mode tile_rows=8 choice on CPU backends
     from path_tracer_tpu.engine.wq import DEF_TILE_ROWS, LANE, _round_up
-    n_lanes = _round_up(min(width * height, samples),
-                        DEF_TILE_ROWS * LANE)
+    tile_rows = DEF_TILE_ROWS if backend != "cpu" else 8
+    n_lanes = _round_up(min(width * height, samples), tile_rows * LANE)
     print(json.dumps({
         "metric": "forward Mray/s/chip (traced segments), final scene "
                   "800x600 depth50",

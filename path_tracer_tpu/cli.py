@@ -31,9 +31,8 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="samples per pixel")
     r.add_argument("--max-depth", type=int, default=None,
                    help="bounce depth (reference: 50, render.hpp:144)")
-    r.add_argument("--renderer", default="auto",
-                   choices=["auto", "wq2", "wq", "wave", "wavefront",
-                            "fused", "perf", "parity"],
+    from .config import RENDERERS
+    r.add_argument("--renderer", default="auto", choices=list(RENDERERS),
                    help="launch strategy: wq2 = B-bounce in-kernel-queue "
                         "megakernel (the TPU production path, auto default "
                         "on accelerators); wq = one-bounce work-queue; "

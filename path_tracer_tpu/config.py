@@ -12,6 +12,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+# Single source of truth for launch strategies: the CLI's --renderer
+# choices, RenderConfig.validate, and the auto default all key off this.
+RENDERERS = ("auto", "wq2", "wq", "wave", "wavefront", "fused", "perf",
+             "parity")
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -28,8 +33,9 @@ class RenderConfig:
     height: int = 480
     spp: int = 100
     max_depth: int = 50
-    # wq = work-queue megakernel (TPU default) | wave = two-phase
-    # megakernel | wavefront (jnp) | fused | perf | parity
+    # auto resolves to the production megakernel on accelerators (see
+    # cli.resolve_renderer) and the jnp bounce loop on CPU.  Every choice
+    # the CLI offers must be accepted by validate() below.
     renderer: str = "auto"
     seed: int = 0
     t_min: float = 1e-3
@@ -52,9 +58,9 @@ class RenderConfig:
         if self.scene not in PRESETS:
             raise ValueError(
                 f"unknown scene {self.scene!r}; have {sorted(PRESETS)}")
-        if self.renderer not in ("auto", "wq", "wave", "wavefront",
-                                 "fused", "perf", "parity"):
-            raise ValueError(f"unknown renderer {self.renderer!r}")
+        if self.renderer not in RENDERERS:
+            raise ValueError(f"unknown renderer {self.renderer!r}; "
+                             f"have {RENDERERS}")
         for f in ("width", "height", "spp", "max_depth"):
             if getattr(self, f) <= 0:
                 raise ValueError(f"{f} must be positive")

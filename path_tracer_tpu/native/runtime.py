@@ -44,7 +44,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pt_save_framebuffer_png.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale libptruntime.so built before newer
+        # symbols (pt_tonemap/pt_save_framebuffer_png) were added —
+        # degrade to the NumPy/PIL path rather than crash available().
         _LIB = None
     return _LIB
 

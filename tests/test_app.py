@@ -28,6 +28,24 @@ def test_config_presets_and_validation():
         RenderConfig(spp=0).validate()
 
 
+def test_every_cli_renderer_choice_validates():
+    """Every --renderer argparse choice must pass RenderConfig.validate
+    (round-2 advisor: 'wq2' was offered by the CLI but rejected by
+    validate, crashing before rendering)."""
+    from path_tracer_tpu.cli import _build_parser
+    parser = _build_parser()
+    render_sub = None
+    for action in parser._subparsers._group_actions:
+        render_sub = action.choices["render"]
+    choices = None
+    for action in render_sub._actions:
+        if "--renderer" in getattr(action, "option_strings", ()):
+            choices = list(action.choices)
+    assert choices, "render subcommand must expose --renderer choices"
+    for ch in choices:
+        RenderConfig(renderer=ch).validate()  # must not raise
+
+
 def test_cli_info(capsys):
     from path_tracer_tpu.cli import main
     assert main(["info"]) == 0
