@@ -33,12 +33,12 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="bounce depth (reference: 50, render.hpp:144)")
     from .config import RENDERERS
     r.add_argument("--renderer", default="auto", choices=list(RENDERERS),
-                   help="launch strategy: wq2 = B-bounce in-kernel-queue "
+                   help="launch strategy: wq = windowed work-queue "
                         "megakernel (the TPU production path, auto default "
-                        "on accelerators); wq = one-bounce work-queue; "
-                        "wave = two-phase megakernel; wavefront = jnp "
-                        "bounce loop (auto default on CPU); parity = "
-                        "reference RNG streams")
+                        "on accelerators); wq2 = retired B-bounce "
+                        "in-kernel-queue experiment; wave = two-phase "
+                        "megakernel; wavefront = jnp bounce loop (auto "
+                        "default on CPU); parity = reference RNG streams")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--t-min", type=float, default=1e-3)
     r.add_argument("--attenuate-emission", action="store_true",
@@ -62,6 +62,15 @@ def _build_parser() -> argparse.ArgumentParser:
     b.add_argument("--scene", default="final_scene")
     b.add_argument("--spp", type=int, default=None)
     return ap
+
+
+def resolve_auto_renderer() -> str:
+    """The single source of truth for what `--renderer auto` runs: the
+    work-queue megakernel on accelerators (the path bench.py measures and
+    BENCH_r*.json records), the jnp bounce loop on CPU (faster than
+    interpret-mode pallas)."""
+    import jax
+    return "wq" if jax.default_backend() != "cpu" else "wavefront"
 
 
 def _cmd_info() -> int:
@@ -116,9 +125,7 @@ def _cmd_render(args) -> int:
 
     renderer = cfg.renderer
     if renderer == "auto":
-        # the megakernel queue is the production path on accelerators; the
-        # jnp bounce loop is faster than interpret-mode pallas on CPU
-        renderer = "wq2" if jax.default_backend() != "cpu" else "wavefront"
+        renderer = resolve_auto_renderer()
 
     segments = None
     with profiling.trace(cfg.profile_dir):
@@ -199,14 +206,17 @@ def main(argv=None) -> int:
         on_cpu = jax.default_backend() == "cpu"
         spp = args.spp or (2 if on_cpu else 40)
         scene, cam = p.build()
-        if on_cpu:
+        # measure exactly what `--renderer auto` runs (and what repo-root
+        # bench.py measures) so the three numbers are one story
+        renderer = resolve_auto_renderer()
+        if renderer == "wavefront":
             from .engine.integrator import render_wavefront as _render
             run = lambda: _render(scene, cam, p.width, p.height, spp,
                                   p.max_depth, return_segments=True)[1]
         else:
-            from .engine.wq2 import render_wq2
-            run = lambda: render_wq2(scene, cam, p.width, p.height, spp,
-                                     p.max_depth, return_stats=True)[1]
+            from .engine.wq import render_wq
+            run = lambda: render_wq(scene, cam, p.width, p.height, spp,
+                                    p.max_depth, return_stats=True)[1]
         jax.block_until_ready(run())
         t0 = time.perf_counter()
         segs = float(jax.block_until_ready(run()))
