@@ -37,7 +37,7 @@ reassociation.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -199,23 +199,284 @@ def _render_wq_jit(scene: T.Scene, cam: Camera, width: int, height: int,
     return img, segs, iters
 
 
+# ---------------------------------------------------------------------------
+# Windowed driver: W bounces of dense-only glue per scatter/gather cycle
+# ---------------------------------------------------------------------------
+
+DEF_WINDOW = 8      # bounces per window (deposit amortization).  With
+                    # chunk=4 a chunk lasts >= 4 bounces, so a lane needs
+                    # at most ceil(8/4) = 2 grants per window — exactly the
+                    # two bank slots: grants never block.
+MAX_CHUNK = 4       # samples per grant; C | spp enforced by pick_chunk
+
+
+def pick_chunk(spp: int, cap: int = MAX_CHUNK) -> int:
+    """Largest divisor of spp <= cap: the number of consecutive samples of
+    one pixel granted per refill (the kernel regenerates within the chunk,
+    so a lane's accumulator stays same-pixel between grants)."""
+    for c in range(min(cap, spp), 0, -1):
+        if spp % c == 0:
+            return c
+    return 1
+
+
+class WqwExtra(NamedTuple):
+    """Driver-side per-lane deposit bank the kernel never sees.  All
+    (rows, 128) f32.  `bpix/br/bg/bb` x2: banked (pixel, rgb) deposits from
+    chunk transitions, flushed by one scatter-add per window (pix < 0 =
+    empty).  An early design parked image-texture lanes until a window-end
+    texel gather instead of gathering per bounce; it collapsed to 0.10
+    occupancy on the final scene (texture-heavy paths need a texel EVERY
+    bounce — wq2's failure mode), so texels resolve per bounce here."""
+    bpix0: jnp.ndarray
+    br0: jnp.ndarray
+    bg0: jnp.ndarray
+    bb0: jnp.ndarray
+    bpix1: jnp.ndarray
+    br1: jnp.ndarray
+    bg1: jnp.ndarray
+    bb1: jnp.ndarray
+
+
+def _zeros_extra(rows: int) -> WqwExtra:
+    sh = (rows, LANE)
+    z = jnp.zeros(sh, jnp.float32)
+    neg = jnp.full(sh, -1.0, jnp.float32)
+    return WqwExtra(bpix0=neg, br0=z, bg0=z, bb0=z,
+                    bpix1=neg, br1=z, bg1=z, bb1=z)
+
+
+def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
+                 *, n_pix_loc: int, spp_loc: int, chunk: int, window: int,
+                 max_depth: int, attenuate: bool, t_min: float,
+                 tile_rows: int, interpret: bool, seed,
+                 pix_base=0, samp_base=0, valid_pix=None, valid_cpp=None):
+    """Windowed work-queue core over a pixel/sample sub-range — traced, not
+    jitted, so it runs standalone (full frame) or per-shard under
+    `shard_map` (parallel.mesh.render_sharded).
+
+    The framebuffer scatter-add (~4 ms per call on v5e regardless of
+    masking — tools/prof_r3_*.py) runs once per `window` bounces; finished
+    chunks bank into two per-lane slots in between.  Per bounce only the
+    kernel, one atlas gather, and dense XLA (chunk grants, fixup selects)
+    run.  Work order: chunks of `chunk` consecutive samples of one pixel,
+    pixel-major, so results are a pure function of the global
+    (pixel, sample) pair — identical streams to the one-bounce driver
+    (core.rng.seed_perf) — and independent of lane scheduling and shard
+    assignment up to f32 deposit reassociation.  Reference semantics:
+    render.hpp:95-101 sample loop, render.hpp:25-92 integrator.
+
+    Static: `n_pix_loc` (local fb rows / lane sizing), `spp_loc` (max
+    samples per pixel handled here; `chunk` | `spp_loc`).  Traced scalars:
+    `pix_base`/`samp_base` (global offsets), `valid_pix`/`valid_cpp`
+    (clipped work actually granted, for ragged shards; default = full).
+    Returns (fb_sum (n_pix_loc, 3) UNnormalized, traced_segments,
+    bounce_iters)."""
+    C = chunk
+    cpp_loc = spp_loc // C
+    assert cpp_loc * C == spp_loc, (spp_loc, C)
+    if valid_pix is None:
+        valid_pix = n_pix_loc
+    if valid_cpp is None:
+        valid_cpp = cpp_loc
+    valid_pix = jnp.asarray(valid_pix, jnp.int32)
+    valid_cpp = jnp.asarray(valid_cpp, jnp.int32)
+    pix_base_f = jnp.asarray(pix_base, jnp.float32)
+    samp_base_f = jnp.asarray(samp_base, jnp.float32)
+    n_chunks = valid_pix * valid_cpp
+    vcpp = jnp.maximum(valid_cpp, 1)
+    assert n_pix_loc * spp_loc < 2 ** 31
+    quantum = tile_rows * LANE
+    lanes = _round_up(min(n_pix_loc, n_pix_loc * spp_loc), quantum)
+    rows = lanes // LANE
+    sh = (rows, LANE)
+    f32 = jnp.float32
+
+    tables = WB.pack_scene(scene)
+    tables = tables._replace(
+        cam=WB.pack_camera(cam, width, height),
+        seed=jnp.asarray(seed).reshape(1).astype(jnp.uint32))
+    atlas = scene.textures.atlas
+    n_atlas = atlas.shape[0]
+    a32 = atlas.astype(jnp.uint32)
+    atlas_u32 = a32[:, 0] | (a32[:, 1] << 8) | (a32[:, 2] << 16)
+    inv255 = f32(1.0 / 255.0)
+
+    step = functools.partial(WB.wave_bounce, t_min=t_min,
+                             max_depth=max_depth, attenuate=attenuate,
+                             tile_rows=tile_rows, interpret=interpret)
+
+    def refill(st: WB.WaveState, ex: WqwExtra, counter: jnp.ndarray):
+        """Grant dead lanes the next chunk (pixel-major chunk id ->
+        (pixel, sample range)); bank their finished chunk's accumulator
+        into a free deposit slot.  Dense ops only — the kernel's in-chunk
+        regen seeds the stream and launches the camera ray (bounce_core.
+        camera_ray_block), so no per-ray XLA work happens here."""
+        slot0_free = ex.bpix0 < 0.0
+        slot1_free = ex.bpix1 < 0.0
+        had_chunk = st.pix >= 0.0
+        dead = st.alive <= 0.0
+        elig = dead & ((slot0_free | slot1_free) | jnp.logical_not(had_chunk))
+        elig_i = elig.reshape(-1).astype(jnp.int32)
+        rank = jnp.cumsum(elig_i) - elig_i              # exclusive prefix
+        navail = n_chunks - counter
+        grant = (elig.reshape(-1) & (rank < navail)).reshape(sh)
+        cid = counter + rank.reshape(sh)                # valid where grant
+        pix_new = pix_base_f + (cid // vcpp).astype(f32)
+        s0 = samp_base_f + ((cid % vcpp) * C).astype(f32)
+
+        # bank the finished chunk (acc belongs to the old pixel)
+        do_bank = grant & had_chunk
+        use0 = do_bank & slot0_free
+        use1 = do_bank & jnp.logical_not(slot0_free)
+        ex = ex._replace(
+            bpix0=jnp.where(use0, st.pix, ex.bpix0),
+            br0=jnp.where(use0, st.accx, ex.br0),
+            bg0=jnp.where(use0, st.accy, ex.bg0),
+            bb0=jnp.where(use0, st.accz, ex.bb0),
+            bpix1=jnp.where(use1, st.pix, ex.bpix1),
+            br1=jnp.where(use1, st.accx, ex.br1),
+            bg1=jnp.where(use1, st.accy, ex.bg1),
+            bb1=jnp.where(use1, st.accz, ex.bb1),
+        )
+        zero = jnp.float32(0.0)
+        st = st._replace(
+            pix=jnp.where(grant, pix_new, st.pix),
+            s=jnp.where(grant, s0 - 1.0, st.s),        # s_next = s0 regen
+            send=jnp.where(grant, s0 + f32(C), st.send),
+            accx=jnp.where(grant, zero, st.accx),
+            accy=jnp.where(grant, zero, st.accy),
+            accz=jnp.where(grant, zero, st.accz),
+        )
+        n_grant = jnp.minimum(jnp.sum(elig_i), navail)
+        return st, ex, counter + n_grant
+
+    def bounce(carry, _):
+        st, ex, counter = carry
+        st, ex, counter = refill(st, ex, counter)
+        out = step(tables, st)
+        st = out.state
+        # per-bounce image-texture fixup (texture.hpp:139-150 scale 1/255):
+        # one flat gather, then dense selects.  ALBEDO multiplies the live
+        # path's throughput; EMIT adds the weighted emission to the chunk
+        # accumulator (render.hpp:61-73) — acc still belongs to the right
+        # pixel because the fixup runs before the next refill can bank it.
+        idx = jnp.clip(out.fix_idx.astype(jnp.int32), 0, n_atlas - 1)
+        texel = atlas_u32[idx.reshape(-1)].reshape(sh)
+        txr = (texel & 0xFF).astype(f32) * inv255
+        txg = ((texel >> 8) & 0xFF).astype(f32) * inv255
+        txb = ((texel >> 16) & 0xFF).astype(f32) * inv255
+        is_alb = out.fix_kind == f32(WB.FIX_ALBEDO)
+        is_emit = out.fix_kind == f32(WB.FIX_EMIT)
+        st = st._replace(
+            tpx=jnp.where(is_alb, st.tpx * txr, st.tpx),
+            tpy=jnp.where(is_alb, st.tpy * txg, st.tpy),
+            tpz=jnp.where(is_alb, st.tpz * txb, st.tpz),
+            accx=jnp.where(is_emit, st.accx + out.fwx * txr, st.accx),
+            accy=jnp.where(is_emit, st.accy + out.fwy * txg, st.accy),
+            accz=jnp.where(is_emit, st.accz + out.fwz * txb, st.accz),
+        )
+        return (st, ex, counter), None
+
+    def deposit(ex: WqwExtra, fb: jnp.ndarray):
+        """Flush both bank slots with ONE scatter-add (empty slots hit the
+        n_pix_loc drop row; banked pix values are global, fb is local)."""
+        di0 = jnp.where(ex.bpix0 >= 0.0, ex.bpix0 - pix_base_f,
+                        f32(n_pix_loc))
+        di1 = jnp.where(ex.bpix1 >= 0.0, ex.bpix1 - pix_base_f,
+                        f32(n_pix_loc))
+        idx = jnp.concatenate([di0.reshape(-1), di1.reshape(-1)]).astype(
+            jnp.int32)
+        vals = jnp.concatenate([
+            jnp.stack([ex.br0.reshape(-1), ex.bg0.reshape(-1),
+                       ex.bb0.reshape(-1)], axis=1),
+            jnp.stack([ex.br1.reshape(-1), ex.bg1.reshape(-1),
+                       ex.bb1.reshape(-1)], axis=1)])
+        fb = fb.at[idx].add(vals)
+        neg = jnp.full_like(ex.bpix0, -1.0)
+        z = jnp.zeros_like(ex.br0)
+        ex = ex._replace(bpix0=neg, br0=z, bg0=z, bb0=z,
+                         bpix1=neg, br1=z, bg1=z, bb1=z)
+        return ex, fb
+
+    def body(carry):
+        st, ex, counter, fb, wins = carry
+        (st, ex, counter), _ = jax.lax.scan(
+            bounce, (st, ex, counter), None, length=window)
+        ex, fb = deposit(ex, fb)
+        return st, ex, counter, fb, wins + 1
+
+    def cond(carry):
+        st, ex, counter, fb, wins = carry
+        return (counter < n_chunks) | jnp.any(st.alive > 0.0)
+
+    st0 = _zeros_state(rows)
+    st0 = st0._replace(s=jnp.full(sh, -1.0, f32),
+                       pix=jnp.full(sh, -1.0, f32))
+    ex0 = _zeros_extra(rows)
+    fb0 = jnp.zeros((n_pix_loc + 1, 3), f32)   # row n_pix_loc = drop slot
+    st, ex, counter, fb, wins = jax.lax.while_loop(
+        cond, body, (st0, ex0, jnp.int32(0), fb0, jnp.int32(0)))
+
+    # residual flush: the last chunk per lane was never re-granted, so its
+    # radiance still sits in acc
+    pix_i = jnp.where(st.pix >= 0.0, st.pix - pix_base_f,
+                      f32(n_pix_loc)).astype(jnp.int32).reshape(-1)
+    vals = jnp.stack([st.accx.reshape(-1), st.accy.reshape(-1),
+                      st.accz.reshape(-1)], axis=1)
+    fb = fb.at[pix_i].add(vals)
+
+    segs = jnp.sum(st.wrk)
+    return fb[:n_pix_loc], segs, wins * jnp.int32(window)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+def _render_wqw_jit(scene: T.Scene, cam: Camera, width: int, height: int,
+                    spp: int, max_depth: int, attenuate: bool, t_min: float,
+                    tile_rows: int, interpret: bool, window: int, chunk: int,
+                    seed: jnp.ndarray):
+    """Full-frame jit wrapper over wq_window_fb."""
+    n_pix = width * height
+    fb, segs, iters = wq_window_fb(
+        scene, cam, width, height, n_pix_loc=n_pix, spp_loc=spp,
+        chunk=chunk, window=window, max_depth=max_depth,
+        attenuate=attenuate, t_min=t_min, tile_rows=tile_rows,
+        interpret=interpret, seed=seed)
+    img = (fb / jnp.float32(spp)).reshape(height, width, 3)
+    return img, segs, iters
+
+
 def render_wq(scene: T.Scene, cam: Camera, width: int, height: int,
               spp: int, max_depth: int = 50,
               attenuate_emission: bool = False, t_min: float = 1e-3,
               seed: int = 0, tile_rows: Optional[int] = None,
               interpret: Optional[bool] = None,
+              window: Optional[int] = None,
               return_stats: bool = False):
     """Render with the work-queue megakernel.  Output (H, W, 3), fb row 0 =
     image bottom (flip at save, main.cpp:41).  On CPU backends the kernel
-    runs in pallas interpret mode (slow; tests only)."""
+    runs in pallas interpret mode (slow; tests only).
+
+    `window` selects bounces per scatter/gather cycle: >1 = the windowed
+    driver (production default), 1 = the legacy one-bounce driver (per-step
+    gather+deposit)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if tile_rows is None:
         tile_rows = DEF_TILE_ROWS if not interpret else 8
-    img, segs, iters = _render_wq_jit(
-        scene, cam, width, height, spp, max_depth,
-        bool(attenuate_emission), float(t_min), int(tile_rows),
-        bool(interpret), jnp.uint32(seed))
+    if window is None:
+        window = DEF_WINDOW if not interpret else 3
+    if window <= 1:
+        img, segs, iters = _render_wq_jit(
+            scene, cam, width, height, spp, max_depth,
+            bool(attenuate_emission), float(t_min), int(tile_rows),
+            bool(interpret), jnp.uint32(seed))
+    else:
+        img, segs, iters = _render_wqw_jit(
+            scene, cam, width, height, spp, max_depth,
+            bool(attenuate_emission), float(t_min), int(tile_rows),
+            bool(interpret), int(window), pick_chunk(spp),
+            jnp.uint32(seed))
     if return_stats:
         return img, segs, iters
     return img

@@ -50,21 +50,80 @@ def make_mesh(n_tiles: Optional[int] = None, n_spp: int = 1,
 # Sharded forward render
 # ---------------------------------------------------------------------------
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def render_sharded(scene: T.Scene, cam: Camera, width: int, height: int,
                    spp: int, mesh: Mesh, max_depth: int = 50,
                    attenuate_emission: bool = False, t_min: float = 1e-3,
-                   seed: int = 0) -> jnp.ndarray:
+                   seed: int = 0, renderer: str = "wq",
+                   interpret: Optional[bool] = None,
+                   tile_rows: Optional[int] = None,
+                   window: Optional[int] = None) -> jnp.ndarray:
     """Forward render over the mesh: pixels sharded on "tiles", samples on
-    "spp" (partial sums psum-reduced).  Returns the replicated (H, W, 3)
-    image."""
+    "spp" (partial sums psum-reduced over ICI).  Returns the (H, W, 3)
+    image ("tiles"-sharded rows; index/np.asarray gathers it).
+
+    renderer="wq" (default) runs the production windowed work-queue
+    megakernel per shard (engine.wq.wq_window_fb); "jnp" the XLA wavefront
+    integrator.  Ragged shapes are handled by padding: pixel rows pad up to
+    the tile axis and trailing sample chunks mask off, so any (W, H, spp)
+    works — no divisibility requirement."""
     n_tiles = mesh.shape["tiles"]
     n_spp = mesh.shape["spp"]
     n_pix = width * height
-    assert n_pix % n_tiles == 0, "H*W must divide the tile axis"
-    assert spp % n_spp == 0, "spp must divide the spp axis"
-    local_spp = spp // n_spp
 
-    pix_ids = jnp.arange(n_pix, dtype=jnp.uint32)
+    if renderer == "wq":
+        from ..engine.wq import (DEF_TILE_ROWS, DEF_WINDOW, pick_chunk,
+                                 wq_window_fb)
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        if tile_rows is None:
+            tile_rows = DEF_TILE_ROWS if not interpret else 8
+        if window is None:
+            window = DEF_WINDOW if not interpret else 3
+        C = pick_chunk(spp)
+        cpp = spp // C
+        cpp_loc = _ceil_div(cpp, n_spp)
+        spp_loc = cpp_loc * C
+        n_pix_loc = _ceil_div(n_pix, n_tiles)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P()), out_specs=P("tiles"),
+            # pallas_call can't annotate varying-mesh-axes metadata on its
+            # outputs yet; the body is purely local + one explicit psum.
+            check_vma=False,
+        )
+        def shard_render(scene_, cam_):
+            t = jax.lax.axis_index("tiles").astype(jnp.int32)
+            k = jax.lax.axis_index("spp").astype(jnp.int32)
+            pix_base = t * n_pix_loc
+            samp_base = k * spp_loc
+            valid_pix = jnp.clip(n_pix - pix_base, 0, n_pix_loc)
+            valid_cpp = jnp.clip(cpp - k * cpp_loc, 0, cpp_loc)
+            fb, _, _ = wq_window_fb(
+                scene_, cam_, width, height, n_pix_loc=n_pix_loc,
+                spp_loc=spp_loc, chunk=C, window=window,
+                max_depth=max_depth, attenuate=attenuate_emission,
+                t_min=float(t_min), tile_rows=tile_rows,
+                interpret=interpret, seed=jnp.uint32(seed),
+                pix_base=pix_base, samp_base=samp_base,
+                valid_pix=valid_pix, valid_cpp=valid_cpp)
+            fb = jax.lax.psum(fb, "spp")
+            return fb / jnp.float32(spp)
+
+        with mesh:
+            img = jax.jit(shard_render)(scene, cam)
+        return img[:n_pix].reshape(height, width, 3)
+
+    # ---- jnp wavefront fallback -------------------------------------------
+    n_pix_loc = _ceil_div(n_pix, n_tiles)
+    n_pix_pad = n_pix_loc * n_tiles
+    local_spp = _ceil_div(spp, n_spp)
+    pix_ids = jnp.arange(n_pix_pad, dtype=jnp.uint32) % jnp.uint32(
+        max(n_pix, 1))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -81,10 +140,11 @@ def render_sharded(scene: T.Scene, cam: Camera, width: int, height: int,
         state, o, d, tmv = camera_rays(cam_, width, height, lanes_pix, state)
         _, rad = trace(scene_, o, d, tmv, state, max_depth,
                        attenuate_emission, t_min)
+        valid = (samp < jnp.uint32(spp)).astype(jnp.float32)
         acc = jnp.stack([
-            jnp.sum(rad.x.reshape(local_spp, npx), axis=0),
-            jnp.sum(rad.y.reshape(local_spp, npx), axis=0),
-            jnp.sum(rad.z.reshape(local_spp, npx), axis=0),
+            jnp.sum((rad.x * valid).reshape(local_spp, npx), axis=0),
+            jnp.sum((rad.y * valid).reshape(local_spp, npx), axis=0),
+            jnp.sum((rad.z * valid).reshape(local_spp, npx), axis=0),
         ], axis=-1)
         # combine sample-shard partial sums over ICI
         acc = jax.lax.psum(acc, "spp")
@@ -92,7 +152,7 @@ def render_sharded(scene: T.Scene, cam: Camera, width: int, height: int,
 
     with mesh:
         img = shard_render(scene, cam, pix_ids)
-    return img.reshape(height, width, 3)
+    return img[:n_pix].reshape(height, width, 3)
 
 
 # ---------------------------------------------------------------------------
