@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from .vec import Vec3
 
@@ -39,7 +40,9 @@ PI = 3.1415926535897932385  # rtweekend.hpp:22
 # Default xorshift32 state (Marsaglia), xorshift.hpp:18.
 INITIAL_STATE = 2463534242
 
-_F32_SCALE = jnp.float32(1.0 / (1 << 32))
+# numpy, not jnp: module import must not initialize the XLA
+# backend (jax.distributed.initialize comes first on multihost)
+_F32_SCALE = np.float32(1.0 / (1 << 32))
 
 
 def xs32_step(state: jnp.ndarray) -> jnp.ndarray:

@@ -34,13 +34,15 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rng as rng_mod
 from ..core.vec import Vec3, cross, dot, length, where as vwhere
 from ..scene import types as T
 
-INF = jnp.float32(jnp.inf)
-BIG_SCAN = jnp.int32(2**30)
+# numpy, not jnp: import must not initialize the XLA backend
+INF = np.float32(np.inf)
+BIG_SCAN = np.int32(2**30)
 
 CLASS_SPHERE = 0
 CLASS_RECT = 1

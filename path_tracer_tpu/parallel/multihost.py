@@ -24,6 +24,9 @@ from ..utils.profiling import log
 from .mesh import make_mesh
 
 
+_brought_up = False
+
+
 def bring_up(coordinator: Optional[str] = None,
              num_processes: Optional[int] = None,
              process_id: Optional[int] = None) -> None:
@@ -32,9 +35,15 @@ def bring_up(coordinator: Optional[str] = None,
     With no arguments, reads the standard env vars
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
     TPU pod metadata on Cloud TPU) and no-ops for single-process runs.
+
+    Must run before any other JAX call: querying the backend (even
+    `jax.process_count()`) initializes it single-process and the
+    coordination service can no longer join, which is why the guard here
+    is a module flag, not a backend query.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _brought_up
+    if _brought_up:
+        return
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator is None and num_processes is None:
         return  # single host
@@ -43,6 +52,7 @@ def bring_up(coordinator: Optional[str] = None,
         num_processes=num_processes,
         process_id=process_id,
     )
+    _brought_up = True
     log.info("distributed: process %d/%d, %d local / %d global devices",
              jax.process_index(), jax.process_count(),
              jax.local_device_count(), jax.device_count())
