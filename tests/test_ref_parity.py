@@ -1,0 +1,40 @@
+"""Reference-parity regression test against a COMMITTED golden image
+rendered by the actual, unmodified reference binary (triSYCL/path_tracer
+built via the clean-room host-SYCL shim, tools/ref_parity/run_reference.py)
+at 80x48, 100 spp, depth 50 — the reference's hard-coded sampling
+(main.cpp:186, render.hpp:144).
+
+Both sides consume identical per-pixel xorshift32 streams (render.hpp:
+130-131 seeds with std::hash<size_t>(linear_id), the identity in
+libstdc++; core.rng.seed_parity reproduces it) and the same draw order, so
+the images agree pixel-for-pixel up to f32 reassociation, which can flip a
+chaotic branch (dielectric Schlick draw, smoke event) and change one whole
+path — hence fraction-based thresholds rather than allclose.  Measured on
+this machine: 80.39% byte-exact, 85.5% within 1/255, mean |linear err|
+0.00287 (docs/parity/REF_PARITY_80x48.json; the full-frame 800x480 report
+lives next to it).  Thresholds sit just under those values so any kernel
+regression (intersection order, RNG accounting, texture sampling,
+quantization) fails the suite.
+"""
+import pathlib
+
+import numpy as np
+
+from path_tracer_tpu.engine.integrator import render_parity
+from path_tracer_tpu.scene.presets import build_final_scene
+from tools.ref_parity.compare import metrics
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "ref_80x48.npy"
+
+
+def test_parity_vs_committed_reference_golden():
+    ref = np.load(GOLDEN)
+    assert ref.shape == (48, 80, 3)
+    scene, cam = build_final_scene(80 / 48)
+    img = np.asarray(render_parity(scene, cam, 80, 48, 100, max_depth=50))
+    rep = metrics(img, ref)
+    assert rep["pct_pixels_byte_exact"] >= 78.0, rep
+    assert rep["pct_pixels_within_1_255"] >= 83.0, rep
+    assert rep["pct_pixels_within_4_255"] >= 90.0, rep
+    assert rep["mean_abs_linear_err"] <= 0.0035, rep
+    assert rep["p99_abs_linear_err"] <= 0.07, rep

@@ -28,6 +28,32 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
 
+def metrics(img_bottom_up: np.ndarray, ref_top_down: np.ndarray) -> dict:
+    """Parity metrics between OUR linear render (fb row 0 = image bottom)
+    and the reference's linear golden (row 0 = image top).  Quantizes our
+    side exactly like the reference writer (main.cpp:44-49: byte =
+    int(256*clamp(sqrt(c), 0, .999))) before differencing."""
+    img = img_bottom_up[::-1]
+    b = (256.0 * np.clip(np.sqrt(np.maximum(img, 0.0)), 0.0, 0.999)).astype(
+        np.int32)
+    ours_lin = (b.astype(np.float64) / 256.0) ** 2
+    err = np.abs(ours_lin - ref_top_down)
+    byte_ref = (256.0 * np.clip(np.sqrt(ref_top_down), 0.0, 0.999)).astype(
+        np.int32)
+    byte_diff = np.abs(b - byte_ref).max(axis=-1)  # per-pixel max channel
+    return {
+        "pct_pixels_byte_exact": round(float((byte_diff == 0).mean()) * 100,
+                                       3),
+        "pct_pixels_within_1_255": round(
+            float((byte_diff <= 1).mean()) * 100, 3),
+        "pct_pixels_within_4_255": round(
+            float((byte_diff <= 4).mean()) * 100, 3),
+        "mean_abs_linear_err": float(err.mean()),
+        "p99_abs_linear_err": float(np.percentile(err, 99)),
+        "max_abs_linear_err": float(err.max()),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("width", type=int, nargs="?", default=80)
@@ -49,29 +75,9 @@ def main():
 
     scene, cam = build_final_scene(w / h)
     img = np.asarray(render_parity(scene, cam, w, h, args.spp, max_depth=50))
-    img = img[::-1]  # fb row 0 = image bottom; reference PNG row 0 = top
-
-    # quantize ours exactly like the reference writer (main.cpp:44-49):
-    # byte = int(256*clamp(sqrt(c), 0, .999)), then undo to linear
-    b = (256.0 * np.clip(np.sqrt(np.maximum(img, 0.0)), 0.0, 0.999)).astype(
-        np.int32)
-    ours_lin = (b.astype(np.float64) / 256.0) ** 2
-
-    err = np.abs(ours_lin - ref)
-    byte_ref = (256.0 * np.clip(np.sqrt(ref), 0.0, 0.999)).astype(np.int32)
-    byte_diff = np.abs(b - byte_ref).max(axis=-1)  # per-pixel max channel
-    report = {
-        "config": {"width": w, "height": h, "spp": args.spp,
-                   "ref_spp": 100, "depth": 50},
-        "pct_pixels_byte_exact": round(float((byte_diff == 0).mean()) * 100, 3),
-        "pct_pixels_within_1_255": round(
-            float((byte_diff <= 1).mean()) * 100, 3),
-        "pct_pixels_within_4_255": round(
-            float((byte_diff <= 4).mean()) * 100, 3),
-        "mean_abs_linear_err": float(err.mean()),
-        "p99_abs_linear_err": float(np.percentile(err, 99)),
-        "max_abs_linear_err": float(err.max()),
-    }
+    report = {"config": {"width": w, "height": h, "spp": args.spp,
+                         "ref_spp": 100, "depth": 50}}
+    report.update(metrics(img, ref))
     print(json.dumps(report, indent=2))
     if args.out:
         pathlib.Path(args.out).write_text(json.dumps(report, indent=2))
