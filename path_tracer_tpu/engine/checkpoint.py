@@ -57,7 +57,7 @@ def load_checkpoint(ckpt_dir: str, expect_meta: dict
         with open(meta_path) as f:
             meta = json.load(f)
         keys = ("scene", "width", "height", "max_depth", "seed", "t_min",
-                "attenuate_emission")
+                "attenuate_emission", "renderer")
         if any(meta.get(k) != expect_meta[k] for k in keys):
             log.warning("checkpoint at %s is for a different render "
                         "(%s) — ignoring", ckpt_dir,
@@ -75,16 +75,20 @@ def render_checkpointed(scene: T.Scene, cam, width: int, height: int,
                         attenuate_emission: bool = False,
                         t_min: float = 1e-3, seed: int = 0,
                         ckpt_dir: str = "", checkpoint_every: int = 50,
-                        scene_name: str = "", max_lanes: int = 1 << 17
-                        ) -> jnp.ndarray:
-    """Chunked perf-mode render with periodic on-disk accumulation.
+                        scene_name: str = "", max_lanes: int = 1 << 17,
+                        renderer: str = "wq") -> jnp.ndarray:
+    """Sample-range render with periodic on-disk accumulation.
 
-    Output (H, W, 3) radiance means, identical to ``render_perf`` with the
-    same arguments (same per-(pixel, sample) streams)."""
+    renderer="wq" (default) drives the PRODUCTION windowed work-queue
+    megakernel one dispatch per spp-range (engine.wq.render_wq_range);
+    "jnp" keeps the wavefront integrator chunk loop.  Output (H, W, 3)
+    radiance means; per-(pixel, sample) streams make a resumed run
+    bit-identical to an uninterrupted one with the same range boundaries."""
     n = width * height
     meta_id = {"scene": scene_name, "width": width, "height": height,
                "max_depth": max_depth, "seed": seed, "t_min": t_min,
-               "attenuate_emission": attenuate_emission}
+               "attenuate_emission": attenuate_emission,
+               "renderer": renderer}
 
     acc_np, spp_done = (None, 0)
     if ckpt_dir:
@@ -95,23 +99,34 @@ def render_checkpointed(scene: T.Scene, cam, width: int, height: int,
     acc = (jnp.asarray(acc_np) if acc_np is not None
            else jnp.zeros((n, 3), jnp.float32))
 
-    spp_chunk = max(1, min(spp, max_lanes // min(n, max_lanes)))
-    tile_pix = max(1, min(n, max_lanes // spp_chunk))
+    if renderer == "wq":
+        # one megakernel dispatch per checkpoint range
+        spp_chunk = max(1, min(spp, checkpoint_every))
+    else:
+        spp_chunk = max(1, min(spp, max_lanes // min(n, max_lanes)))
+        tile_pix = max(1, min(n, max_lanes // spp_chunk))
     seed_arr = jnp.uint32(seed)
     since_ckpt = 0
 
     s0 = spp_done
     while s0 < spp:
         sc = min(spp_chunk, spp - s0)
-        parts = []
-        for p0 in range(0, n, tile_pix):
-            npx = min(tile_pix, n - p0)
-            part = _render_chunk_jit(
-                scene, cam, width, height, sc, max_depth,
-                attenuate_emission, t_min, False,
-                jnp.uint32(p0), npx, jnp.uint32(s0), seed_arr)
-            parts.append(jnp.stack([part.x, part.y, part.z], axis=-1))
-        acc = acc + jnp.concatenate(parts, axis=0)
+        if renderer == "wq":
+            from .wq import render_wq_range
+            acc = acc + render_wq_range(
+                scene, cam, width, height, s0, sc, max_depth=max_depth,
+                attenuate_emission=attenuate_emission, t_min=t_min,
+                seed=seed)
+        else:
+            parts = []
+            for p0 in range(0, n, tile_pix):
+                npx = min(tile_pix, n - p0)
+                part = _render_chunk_jit(
+                    scene, cam, width, height, sc, max_depth,
+                    attenuate_emission, t_min, False,
+                    jnp.uint32(p0), npx, jnp.uint32(s0), seed_arr)
+                parts.append(jnp.stack([part.x, part.y, part.z], axis=-1))
+            acc = acc + jnp.concatenate(parts, axis=0)
         s0 += sc
         since_ckpt += sc
         if ckpt_dir and (since_ckpt >= checkpoint_every or s0 >= spp):

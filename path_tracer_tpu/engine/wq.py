@@ -446,6 +446,47 @@ def _render_wqw_jit(scene: T.Scene, cam: Camera, width: int, height: int,
     return img, segs, iters
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+def _render_wqw_range_jit(scene: T.Scene, cam: Camera, width: int,
+                          height: int, sc: int, max_depth: int,
+                          attenuate: bool, t_min: float, tile_rows: int,
+                          interpret: bool, window: int, chunk: int,
+                          samp_base: jnp.ndarray, seed: jnp.ndarray):
+    n_pix = width * height
+    fb, segs, iters = wq_window_fb(
+        scene, cam, width, height, n_pix_loc=n_pix, spp_loc=sc,
+        chunk=chunk, window=window, max_depth=max_depth,
+        attenuate=attenuate, t_min=t_min, tile_rows=tile_rows,
+        interpret=interpret, seed=seed, samp_base=samp_base)
+    return fb
+
+
+def render_wq_range(scene: T.Scene, cam: Camera, width: int, height: int,
+                    samp_base: int, sc: int, *, max_depth: int = 50,
+                    attenuate_emission: bool = False, t_min: float = 1e-3,
+                    seed: int = 0, tile_rows: Optional[int] = None,
+                    interpret: Optional[bool] = None,
+                    window: Optional[int] = None) -> jnp.ndarray:
+    """UNnormalized framebuffer sums (n_pix, 3) over samples
+    [samp_base, samp_base + sc) of every pixel, through the production
+    windowed work-queue megakernel — the accumulation quantum for
+    checkpoint/resume (engine.checkpoint.render_checkpointed).  Streams are
+    keyed on the global (pixel, sample) pair, so range sums compose
+    deterministically: resuming at any range boundary reproduces an
+    uninterrupted run with the same boundaries bit-for-bit."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if tile_rows is None:
+        tile_rows = DEF_TILE_ROWS if not interpret else 8
+    if window is None:
+        window = DEF_WINDOW if not interpret else 3
+    return _render_wqw_range_jit(
+        scene, cam, width, height, int(sc), int(max_depth),
+        bool(attenuate_emission), float(t_min), int(tile_rows),
+        bool(interpret), int(window), pick_chunk(sc),
+        jnp.int32(samp_base), jnp.uint32(seed))
+
+
 def render_wq(scene: T.Scene, cam: Camera, width: int, height: int,
               spp: int, max_depth: int = 50,
               attenuate_emission: bool = False, t_min: float = 1e-3,

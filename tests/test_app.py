@@ -67,7 +67,7 @@ def test_cli_render_writes_png(tmp_path):
     assert img.max() > 0
 
 
-def test_checkpoint_resume_bitexact(tmp_path):
+def test_checkpoint_resume_bitexact_jnp(tmp_path):
     scene, cam = THREE_SPHERES.build()
     w, h, spp, depth = 64, 32, 6, 4
     ref = np.asarray(render_perf(scene, cam, w, h, spp, max_depth=depth))
@@ -75,16 +75,47 @@ def test_checkpoint_resume_bitexact(tmp_path):
 
     # partial run to spp=2, then resume to full
     render_checkpointed(scene, cam, w, h, 2, depth, ckpt_dir=d,
-                        checkpoint_every=1, scene_name="three_spheres")
+                        checkpoint_every=1, scene_name="three_spheres",
+                        renderer="jnp")
     acc, done = load_checkpoint(d, {
         "scene": "three_spheres", "width": w, "height": h,
         "max_depth": depth, "seed": 0, "t_min": 1e-3,
-        "attenuate_emission": False})
+        "attenuate_emission": False, "renderer": "jnp"})
     assert done == 2 and acc is not None
     img = np.asarray(render_checkpointed(
         scene, cam, w, h, spp, depth, ckpt_dir=d, checkpoint_every=2,
-        scene_name="three_spheres"))
+        scene_name="three_spheres", renderer="jnp"))
     np.testing.assert_allclose(img, ref, atol=2e-6)
+
+
+def test_checkpoint_resume_bitexact_wq(tmp_path):
+    """The PRODUCTION path: interrupted-and-resumed work-queue render must
+    equal an uninterrupted run with the same range boundaries BIT-exactly,
+    and match the plain megakernel render up to range-sum reassociation."""
+    from path_tracer_tpu.engine.wq import render_wq
+    scene, cam = THREE_SPHERES.build()
+    w, h, spp, depth = 64, 32, 6, 4
+    d = str(tmp_path / "ckpt")
+
+    render_checkpointed(scene, cam, w, h, 4, depth, ckpt_dir=d,
+                        checkpoint_every=2, scene_name="three_spheres")
+    acc, done = load_checkpoint(d, {
+        "scene": "three_spheres", "width": w, "height": h,
+        "max_depth": depth, "seed": 0, "t_min": 1e-3,
+        "attenuate_emission": False, "renderer": "wq"})
+    assert done == 4 and acc is not None
+    resumed = np.asarray(render_checkpointed(
+        scene, cam, w, h, spp, depth, ckpt_dir=d, checkpoint_every=2,
+        scene_name="three_spheres"))
+
+    unint = np.asarray(render_checkpointed(
+        scene, cam, w, h, spp, depth, ckpt_dir=str(tmp_path / "c2"),
+        checkpoint_every=2, scene_name="three_spheres"))
+    np.testing.assert_array_equal(resumed, unint)
+
+    full = np.asarray(render_wq(scene, cam, w, h, spp, max_depth=depth,
+                                tile_rows=8))
+    np.testing.assert_allclose(resumed, full, atol=2e-4)
 
 
 def test_checkpoint_identity_mismatch_ignored(tmp_path):
@@ -96,7 +127,7 @@ def test_checkpoint_identity_mismatch_ignored(tmp_path):
     acc, done = load_checkpoint(d, {
         "scene": "three_spheres", "width": 32, "height": 16,
         "max_depth": 3, "seed": 99, "t_min": 1e-3,
-        "attenuate_emission": False})
+        "attenuate_emission": False, "renderer": "wq"})
     assert acc is None and done == 0
 
 
