@@ -35,8 +35,7 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--renderer", default="auto", choices=list(RENDERERS),
                    help="launch strategy: wq = windowed work-queue "
                         "megakernel (the TPU production path, auto default "
-                        "on accelerators); wq2 = retired B-bounce "
-                        "in-kernel-queue experiment; wave = two-phase "
+                        "on accelerators); wave = two-phase "
                         "megakernel; wavefront = jnp bounce loop (auto "
                         "default on CPU); parity = reference RNG streams")
     r.add_argument("--seed", type=int, default=0)
@@ -136,12 +135,6 @@ def _cmd_render(args) -> int:
                     cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
                     cfg.seed, cfg.checkpoint_dir, cfg.checkpoint_every,
                     scene_name=cfg.scene)
-            elif renderer == "wq2":
-                from .engine.wq2 import render_wq2
-                img, segments, _ = render_wq2(
-                    scene, cam, cfg.width, cfg.height, cfg.spp,
-                    cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
-                    cfg.seed, return_stats=True)
             elif renderer == "wq":
                 from .engine.wq import render_wq
                 img, segments, _ = render_wq(

@@ -14,7 +14,7 @@ from typing import Optional
 
 # Single source of truth for launch strategies: the CLI's --renderer
 # choices, RenderConfig.validate, and the auto default all key off this.
-RENDERERS = ("auto", "wq2", "wq", "wave", "wavefront", "fused", "perf",
+RENDERERS = ("auto", "wq", "wave", "wavefront", "fused", "perf",
              "parity")
 
 

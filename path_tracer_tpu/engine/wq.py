@@ -203,11 +203,14 @@ def _render_wq_jit(scene: T.Scene, cam: Camera, width: int, height: int,
 # Windowed driver: W bounces of dense-only glue per scatter/gather cycle
 # ---------------------------------------------------------------------------
 
-DEF_WINDOW = 8      # bounces per window (deposit amortization).  With
-                    # chunk=4 a chunk lasts >= 4 bounces, so a lane needs
-                    # at most ceil(8/4) = 2 grants per window — exactly the
-                    # two bank slots: grants never block.
-MAX_CHUNK = 4       # samples per grant; C | spp enforced by pick_chunk
+DEF_WINDOW = 16     # bounces per window (deposit amortization).  Grants
+                    # launch their camera ray in XLA (alive=1), so a chunk
+                    # takes >= chunk kernel calls; with window <= 2*chunk a
+                    # lane banks at most twice per window — exactly the two
+                    # bank slots: grants never block (when spp forces a
+                    # smaller chunk, a full-banked lane just idles until
+                    # the window-end flush, which only costs occupancy).
+MAX_CHUNK = 10      # samples per grant; C | spp enforced by pick_chunk
 
 
 def pick_chunk(spp: int, cap: int = MAX_CHUNK) -> int:
@@ -308,10 +311,13 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
 
     def refill(st: WB.WaveState, ex: WqwExtra, counter: jnp.ndarray):
         """Grant dead lanes the next chunk (pixel-major chunk id ->
-        (pixel, sample range)); bank their finished chunk's accumulator
-        into a free deposit slot.  Dense ops only — the kernel's in-chunk
-        regen seeds the stream and launches the camera ray (bounce_core.
-        camera_ray_block), so no per-ray XLA work happens here."""
+        (pixel, sample range)) and launch its first camera ray in XLA —
+        dense ops only, and the granted lane traces in its very next
+        kernel call (no wasted regen-only call).  The draw sequence is the
+        kernel's in-chunk regen sequence exactly (core.rng.seed_perf
+        seeding + jitter/disk/time draws, render.hpp:96-99), so in-chunk
+        sample transitions (bounce_core.camera_ray_block) continue the
+        same streams.  Finished chunks bank into a free deposit slot."""
         slot0_free = ex.bpix0 < 0.0
         slot1_free = ex.bpix1 < 0.0
         had_chunk = st.pix >= 0.0
@@ -324,6 +330,16 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         cid = counter + rank.reshape(sh)                # valid where grant
         pix_new = pix_base_f + (cid // vcpp).astype(f32)
         s0 = samp_base_f + ((cid % vcpp) * C).astype(f32)
+
+        # camera ray for (pix_new, s0): same seed + draws as the kernel's
+        # regen path (seed_perf: splitmix(pix ^ splitmix(s ^ seed)), 0 ->
+        # INITIAL_STATE), computed densely for every lane, selected below.
+        pix_u = pix_new.reshape(-1).astype(jnp.uint32)
+        s_u = s0.reshape(-1).astype(jnp.uint32)
+        rng0 = rng_mod.splitmix32(
+            pix_u ^ rng_mod.splitmix32(s_u ^ tables.seed[0]))
+        rng0 = jnp.where(rng0 == 0, jnp.uint32(rng_mod.INITIAL_STATE), rng0)
+        rng1, o, d, tmv = camera_rays(cam, width, height, pix_u, rng0)
 
         # bank the finished chunk (acc belongs to the old pixel)
         do_bank = grant & had_chunk
@@ -340,9 +356,23 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
             bb1=jnp.where(use1, st.accz, ex.bb1),
         )
         zero = jnp.float32(0.0)
+        one = jnp.float32(1.0)
+        sel = lambda new, old: jnp.where(grant, new.reshape(sh), old)
         st = st._replace(
+            ox=sel(o.x, st.ox), oy=sel(o.y, st.oy), oz=sel(o.z, st.oz),
+            dx=sel(d.x, st.dx), dy=sel(d.y, st.dy), dz=sel(d.z, st.dz),
+            tm=sel(tmv, st.tm),
+            rng=jnp.where(grant, rng1.reshape(sh), st.rng),
+            tpx=jnp.where(grant, one, st.tpx),
+            tpy=jnp.where(grant, one, st.tpy),
+            tpz=jnp.where(grant, one, st.tpz),
+            radx=jnp.where(grant, zero, st.radx),
+            rady=jnp.where(grant, zero, st.rady),
+            radz=jnp.where(grant, zero, st.radz),
+            alive=jnp.where(grant, one, st.alive),
+            bnc=jnp.where(grant, zero, st.bnc),
             pix=jnp.where(grant, pix_new, st.pix),
-            s=jnp.where(grant, s0 - 1.0, st.s),        # s_next = s0 regen
+            s=jnp.where(grant, s0, st.s),
             send=jnp.where(grant, s0 + f32(C), st.send),
             accx=jnp.where(grant, zero, st.accx),
             accy=jnp.where(grant, zero, st.accy),
@@ -378,20 +408,28 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         )
         return (st, ex, counter), None
 
+    drop = 3 * n_pix_loc            # flat fb: [r-plane, g-plane, b-plane,
+    npl = jnp.int32(n_pix_loc)      #          drop slot]
+
     def deposit(ex: WqwExtra, fb: jnp.ndarray):
-        """Flush both bank slots with ONE scatter-add (empty slots hit the
-        n_pix_loc drop row; banked pix values are global, fb is local)."""
-        di0 = jnp.where(ex.bpix0 >= 0.0, ex.bpix0 - pix_base_f,
-                        f32(n_pix_loc))
-        di1 = jnp.where(ex.bpix1 >= 0.0, ex.bpix1 - pix_base_f,
-                        f32(n_pix_loc))
-        idx = jnp.concatenate([di0.reshape(-1), di1.reshape(-1)]).astype(
-            jnp.int32)
+        """Flush both bank slots with ONE flat SCALAR scatter-add: (N, 3)
+        scatter rows cost ~41 ns/row on v5e while scalar rows cost ~7.5
+        (tools/prof_r3_inloop.py), so rgb deposits go to three channel
+        planes of a flat fb.  Empty slots hit the drop slot; banked pix
+        values are global, fb is local."""
+        def plane_idx(bpix):
+            valid = bpix >= 0.0
+            base = (bpix - pix_base_f).astype(jnp.int32).reshape(-1)
+            mk = lambda c: jnp.where(valid.reshape(-1),
+                                     base + c * npl, drop)
+            return mk(0), mk(1), mk(2)
+
+        r0, g0, b0 = plane_idx(ex.bpix0)
+        r1, g1, b1 = plane_idx(ex.bpix1)
+        idx = jnp.concatenate([r0, g0, b0, r1, g1, b1])
         vals = jnp.concatenate([
-            jnp.stack([ex.br0.reshape(-1), ex.bg0.reshape(-1),
-                       ex.bb0.reshape(-1)], axis=1),
-            jnp.stack([ex.br1.reshape(-1), ex.bg1.reshape(-1),
-                       ex.bb1.reshape(-1)], axis=1)])
+            ex.br0.reshape(-1), ex.bg0.reshape(-1), ex.bb0.reshape(-1),
+            ex.br1.reshape(-1), ex.bg1.reshape(-1), ex.bb1.reshape(-1)])
         fb = fb.at[idx].add(vals)
         neg = jnp.full_like(ex.bpix0, -1.0)
         z = jnp.zeros_like(ex.br0)
@@ -414,20 +452,23 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
     st0 = st0._replace(s=jnp.full(sh, -1.0, f32),
                        pix=jnp.full(sh, -1.0, f32))
     ex0 = _zeros_extra(rows)
-    fb0 = jnp.zeros((n_pix_loc + 1, 3), f32)   # row n_pix_loc = drop slot
+    fb0 = jnp.zeros((3 * n_pix_loc + 1,), f32)  # 3 planes + drop slot
     st, ex, counter, fb, wins = jax.lax.while_loop(
         cond, body, (st0, ex0, jnp.int32(0), fb0, jnp.int32(0)))
 
     # residual flush: the last chunk per lane was never re-granted, so its
     # radiance still sits in acc
-    pix_i = jnp.where(st.pix >= 0.0, st.pix - pix_base_f,
-                      f32(n_pix_loc)).astype(jnp.int32).reshape(-1)
-    vals = jnp.stack([st.accx.reshape(-1), st.accy.reshape(-1),
-                      st.accz.reshape(-1)], axis=1)
-    fb = fb.at[pix_i].add(vals)
+    valid = (st.pix >= 0.0).reshape(-1)
+    base = (st.pix - pix_base_f).astype(jnp.int32).reshape(-1)
+    idx = jnp.concatenate([jnp.where(valid, base + c * npl, drop)
+                           for c in range(3)])
+    vals = jnp.concatenate([st.accx.reshape(-1), st.accy.reshape(-1),
+                            st.accz.reshape(-1)])
+    fb = fb.at[idx].add(vals)
 
     segs = jnp.sum(st.wrk)
-    return fb[:n_pix_loc], segs, wins * jnp.int32(window)
+    fb3 = fb[:drop].reshape(3, n_pix_loc).transpose(1, 0)
+    return fb3, segs, wins * jnp.int32(window)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))

@@ -6,7 +6,7 @@ textures, material scatter, sky/emission terminal values — everything except
 the *policy* around it (throughput/termination bookkeeping, sample
 regeneration, queue refill, fixup deferral), which differs between
 `wave_bounce` (pixel-pinned lanes, deferred per-call fixups) and
-`wq_kernel` (in-kernel global sample queue, B bounces per call).
+the work-queue drivers in engine.wq (global sample queue).
 
 All math and draw accounting is the reference's, bit-for-bit where float
 semantics allow:
@@ -68,10 +68,15 @@ def _xs32(s):
 
 def _u32_to_f01(u):
     """u32 -> [0,1] float like `generator() * 2^-32` (rtweekend.hpp:39-42).
-    Mosaic lacks a u32->f32 value cast; go through i32 with a wrap fix."""
-    i = u.astype(jnp.int32)
-    f = i.astype(jnp.float32)
-    f = jnp.where(i < 0, f + jnp.float32(4294967296.0), f)
+    Mosaic lacks a u32->f32 value cast; split into exact 16-bit halves so
+    the single rounding happens at the final add — bitwise identical to
+    XLA's direct u32->f32 cast (core.rng.u32_to_f01).  The previous
+    i32-plus-wrap-fix form double-rounded for some values >= 2^31, putting
+    kernel camera rays 1 ulp off the XLA refill's and flipping knife-edge
+    paths."""
+    hi = (u >> 16).astype(jnp.int32).astype(jnp.float32)
+    lo = (u & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    f = hi * jnp.float32(65536.0) + lo
     return f * jnp.float32(2.0 ** -32)
 
 
@@ -640,21 +645,27 @@ def camera_ray_block(cam, pix, s_idx, seed0, mask, cur_rng):
     st0 = jnp.where(st0 == 0, jnp.uint32(rng_mod.INITIAL_STATE), st0)
     rng_n = jnp.where(mask, st0, cur_rng)
     invW = 1.0 / cam[21]
-    invH = 1.0 / cam[22]
     pyf = jnp.floor((pix + 0.5) * invW)
     pxf = pix - pyf * cam[21]
     rng_n, ju = _draw(rng_n, mask)
     rng_n, jv = _draw(rng_n, mask)
-    su = (pxf + ju) * invW
-    sv_ = (pyf + jv) * invH
+    # op-for-op the associations of integrator.camera_rays + Camera.get_ray
+    # (true divides, rd scaled before the basis combine): drivers mix this
+    # path with the XLA one per sample, so the two must be BIT-identical or
+    # knife-edge paths diverge discretely (a cornell light hit flipped by a
+    # 2-ulp direction difference).
+    su = (pxf + ju) / cam[21]
+    sv_ = (pyf + jv) / cam[22]
     rng_n, dkx = _draw_range(rng_n, mask, f32(-1.0), f32(1.0))
-    dmaxy = jnp.sqrt(jnp.maximum(1.0 - dkx * dkx, 0.0))
+    dmaxy = jnp.sqrt(1.0 - dkx * dkx)
     rng_n, df = _draw(rng_n, mask)
-    dky = -dmaxy + 2.0 * dmaxy * df
+    dky = -dmaxy + (dmaxy - (-dmaxy)) * df
     lrad = cam[18]
-    offx = lrad * (dkx * cam[12] + dky * cam[15])
-    offy = lrad * (dkx * cam[13] + dky * cam[16])
-    offz = lrad * (dkx * cam[14] + dky * cam[17])
+    rdx = dkx * lrad
+    rdy = dky * lrad
+    offx = cam[12] * rdx + cam[15] * rdy
+    offy = cam[13] * rdx + cam[16] * rdy
+    offz = cam[14] * rdx + cam[17] * rdy
     cox = cam[0] + offx
     coy = cam[1] + offy
     coz = cam[2] + offz

@@ -11,10 +11,10 @@ fold registers or tiny one-hot sweeps, leaving only the image-texture atlas
 fetch outside (see `FIX_*`).
 
 The segment pipeline itself (intersection folds in reference scan order,
-media, textures, scatter, sky — `bounce_core.advance`) is shared with the
-B-bounce work-queue kernel (`wq_kernel`); this module adds the pixel-pinned
-policy: per-lane sample regeneration within a fixed (pixel, sample-range)
-assignment and the deferred per-call image-texture fixup.
+media, textures, scatter, sky — `bounce_core.advance`) lives in
+bounce_core; this module adds the per-lane policy: sample regeneration
+within a fixed (pixel, sample-range) assignment and the deferred per-call
+image-texture fixup.
 
 Layout.  Ray state is dense (rows, 128) f32/u32 — rays occupy both sublanes
 and lanes, so every elementwise op runs at full VPU width.  Scene tables are
