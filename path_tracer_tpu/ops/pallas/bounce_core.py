@@ -145,6 +145,9 @@ class Adv(NamedTuple):
     ndx: jnp.ndarray; ndy: jnp.ndarray; ndz: jnp.ndarray  # scattered dir
     stop_emit: jnp.ndarray      # bool: lightsource ended the path here
     sky_x: jnp.ndarray; sky_y: jnp.ndarray; sky_z: jnp.ndarray
+    wscan: jnp.ndarray          # f32 winner scan id (valid iff hit)
+    wcls: jnp.ndarray           # f32 winner class 0 sph/1 rect/2 tri/3 med
+    t_hit: jnp.ndarray          # f32 winner key-space t (0 when no hit)
 
 
 def advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
@@ -626,7 +629,8 @@ def advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
                tk_image=tk_image, atlas_idx=atlas_idx,
                att_x=att_x, att_y=att_y, att_z=att_z,
                did_scatter=did_scatter, ndx=new_dx, ndy=new_dy, ndz=new_dz,
-               stop_emit=stop_emit, sky_x=sky_x, sky_y=sky_y, sky_z=sky_z)
+               stop_emit=stop_emit, sky_x=sky_x, sky_y=sky_y, sky_z=sky_z,
+               wscan=w_scan, wcls=w_cls, t_hit=t_hit)
 
 
 def camera_ray_block(cam, pix, s_idx, seed0, mask, cur_rng):

@@ -288,6 +288,7 @@ def _wave_kernel(# SMEM tables
                  o_tpx, o_tpy, o_tpz, o_radx, o_rady, o_radz,
                  o_accx, o_accy, o_accz, o_alive, o_s, o_bnc, o_wrk,
                  o_fix_kind, o_fix_idx, o_fwx, o_fwy, o_fwz,
+                 o_win, o_thit,
                  *, n_med: int, t_min: float, max_depth: int,
                  attenuate: bool):
     f32 = jnp.float32
@@ -375,6 +376,20 @@ def _wave_kernel(# SMEM tables
     o_fwy[:, :] = ew_y
     o_fwz[:, :] = ew_z
 
+    # winner record for the VJP's record-and-replay residuals (diff.
+    # pallas_vjp): win = ((term*4 + cls)*1024 + scan), exact in f32.
+    # term: 0 continue, 1 sky miss, 2 emission stop, 3 absorb
+    # (scatter-fail on a non-light), 4 depth-exhausted.
+    term = jnp.where(miss, f32(1.0),
+                     jnp.where(stop_emit, f32(2.0),
+                               jnp.where(adv.hit & jnp.logical_not(
+                                   adv.did_scatter | stop_emit), f32(3.0),
+                                         jnp.where(exhausted, f32(4.0),
+                                                   f32(0.0)))))
+    o_win[:, :] = jnp.where(
+        alive_b, (term * 4.0 + adv.wcls) * 1024.0 + adv.wscan, 0.0)
+    o_thit[:, :] = adv.t_hit
+
     # =================== regeneration (next sample of this pixel) ==========
     sv = s[:, :]
     s_next = sv + strd[:, :]
@@ -437,6 +452,8 @@ class WaveOut(NamedTuple):
     fwx: jnp.ndarray
     fwy: jnp.ndarray
     fwz: jnp.ndarray
+    win: jnp.ndarray            # ((term*4 + cls)*1024 + scan), 0 for dead
+    t_hit: jnp.ndarray          # winner t (diff.pallas_vjp residual)
 
 
 def zero_fix(rows: int) -> Tuple[jnp.ndarray, ...]:
@@ -474,7 +491,7 @@ def wave_bounce(tables: SceneTables, st: WaveState,
     state_sh = (rows, LANE)
     out_shape = ([sds(state_sh, f32)] * 7 + [sds(state_sh, jnp.uint32)]
                  + [sds(state_sh, f32)] * 13          # tp rad acc alive s bnc wrk
-                 + [sds(state_sh, f32)] * 5)           # fix
+                 + [sds(state_sh, f32)] * 7)           # fix + win + t_hit
     kern = functools.partial(
         _wave_kernel, n_med=n_med, t_min=float(t_min),
         max_depth=int(max_depth), attenuate=bool(attenuate))
@@ -482,7 +499,7 @@ def wave_bounce(tables: SceneTables, st: WaveState,
         kern,
         grid=(grid,),
         in_specs=[smem] * 10 + [vspec] * 29,
-        out_specs=[vspec] * 26,
+        out_specs=[vspec] * 28,
         out_shape=out_shape,
         interpret=interpret,
     )(tables.sph, tables.sph_segs, tables.rect, tables.rect_segs,
@@ -495,4 +512,5 @@ def wave_bounce(tables: SceneTables, st: WaveState,
       fk_in, fwx_in, fwy_in, fwz_in, texel)
     new = WaveState(*outs[:21], pix=st.pix, send=st.send, strd=st.strd)
     return WaveOut(state=new, fix_kind=outs[21], fix_idx=outs[22],
-                   fwx=outs[23], fwy=outs[24], fwz=outs[25])
+                   fwx=outs[23], fwy=outs[24], fwz=outs[25],
+                   win=outs[26], t_hit=outs[27])

@@ -42,10 +42,14 @@ def _mean_radiance(scene):
 
 def test_grad_albedo_matches_fd():
     def loss_from_albedo(a):
+        # lambertian albedo lives in the SOLID TEXTURE's c1 row (builder
+        # wires a texture per lambertian; materials.color is only the
+        # metal/dielectric plain color) — perturbing materials.color here
+        # would make this test vacuously compare 0 to 0
         scene = _scene()
-        col = scene.materials.color
-        col = type(col)(col.x.at[1].set(a), col.y, col.z)
-        scene = scene._replace(materials=scene.materials._replace(color=col))
+        c1 = scene.textures.c1
+        c1 = type(c1)(c1.x.at[1].set(a), c1.y, c1.z)
+        scene = scene._replace(textures=scene.textures._replace(c1=c1))
         return _mean_radiance(scene)
 
     g = float(jax.grad(loss_from_albedo)(jnp.float32(0.5)))
@@ -53,6 +57,7 @@ def test_grad_albedo_matches_fd():
     fd = (float(loss_from_albedo(jnp.float32(0.5 + eps)))
           - float(loss_from_albedo(jnp.float32(0.5 - eps)))) / (2 * eps)
     assert np.isfinite(g)
+    assert g > 0
     np.testing.assert_allclose(g, fd, rtol=2e-2)
 
 
