@@ -30,23 +30,20 @@ def main():
     spp = 80 if backend != "cpu" else 2
 
     def run():
-        img, segs, iters = render_wq(scene, cam, width, height, spp,
-                                     max_depth=depth, return_stats=True)
-        return img, float(jax.block_until_ready(segs)), int(iters)
+        img, segs, iters, lane_steps = render_wq(
+            scene, cam, width, height, spp, max_depth=depth,
+            return_stats=True)
+        return (img, float(jax.block_until_ready(segs)), int(iters),
+                float(lane_steps))
 
-    img, segs, iters = run()  # warmup / compile
+    img, segs, iters, lane_steps = run()  # warmup / compile
 
     t0 = time.perf_counter()
-    img, segs, iters = run()
+    img, segs, iters, lane_steps = run()
     dt = time.perf_counter() - t0
 
     samples = width * height * spp
     mray_s = segs / dt / 1e6
-    # lane count mirrors engine.wq.render_wq's rounding, including its
-    # interpret-mode tile_rows=8 choice on CPU backends
-    from path_tracer_tpu.engine.wq import DEF_TILE_ROWS, LANE, _round_up
-    tile_rows = DEF_TILE_ROWS if backend != "cpu" else 8
-    n_lanes = _round_up(min(width * height, samples), tile_rows * LANE)
     print(json.dumps({
         "metric": "forward Mray/s/chip (traced segments), final scene "
                   "800x600 depth50",
@@ -55,7 +52,7 @@ def main():
         "vs_baseline": round(mray_s / 200.0, 4),
         "camera_mray_s": round(samples / dt / 1e6, 3),
         "avg_path_len": round(segs / samples, 3),
-        "occupancy": round(segs / (iters * n_lanes), 3),
+        "occupancy": round(segs / lane_steps, 3),
         "wq_iters": iters,
         "backend": backend,
     }))

@@ -137,7 +137,7 @@ def _cmd_render(args) -> int:
                     scene_name=cfg.scene)
             elif renderer == "wq":
                 from .engine.wq import render_wq
-                img, segments, _ = render_wq(
+                img, segments, _, _ = render_wq(
                     scene, cam, cfg.width, cfg.height, cfg.spp,
                     cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
                     cfg.seed, return_stats=True)

@@ -76,8 +76,13 @@ def _pack_atlas_flat(atlas: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
 
 
 def _gather_texels(atlas_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Texel u32 for every (clipped, int32) index in idx, any shape."""
-    return atlas_flat[idx.reshape(-1)].reshape(idx.shape)
+    """Texel u32 for every (clipped, int32) index in idx, any shape.
+
+    The index shape is passed through to the gather un-flattened: a
+    (rows, 128) index block yields a vector-layout result, measured 4.3
+    ms/bounce cheaper on v5e than gathering via reshape(-1) at 483k lanes
+    (tools/prof_r3_real.py g2d ablation)."""
+    return atlas_flat[idx]
 
 
 def _zeros_state(rows: int) -> WB.WaveState:
@@ -295,7 +300,9 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
     `pix_base`/`samp_base` (global offsets), `valid_pix`/`valid_cpp`
     (clipped work actually granted, for ragged shards; default = full).
     Returns (fb_sum (n_pix_loc, 3) UNnormalized, traced_segments,
-    bounce_iters)."""
+    bounce_iters, lane_steps) — lane_steps is the f32 sum of lane-bounces
+    actually dispatched (the drain stages run narrowed grids, so
+    occupancy = traced_segments / lane_steps)."""
     C = chunk
     cpp_loc = spp_loc // C
     assert cpp_loc * C == spp_loc, (spp_loc, C)
@@ -404,28 +411,29 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         n_grant = jnp.minimum(jnp.sum(elig_i), navail)
         return st, ex, counter + n_grant
 
-    def bounce(carry, _):
-        st, ex, counter = carry
-        if "refill" not in _ablate:
-            st, ex, counter = refill(st, ex, counter)
-        out = step(tables, st)
-        st = out.state
-        # per-bounce image-texture fixup (texture.hpp:139-150 scale 1/255):
-        # one flat gather, then dense selects.  ALBEDO multiplies the live
-        # path's throughput; EMIT adds the weighted emission to the chunk
-        # accumulator (render.hpp:61-73) — acc still belongs to the right
-        # pixel because the fixup runs before the next refill can bank it.
+    def apply_fix(st: WB.WaveState, out: WB.WaveOut) -> WB.WaveState:
+        """Per-bounce image-texture fixup (texture.hpp:139-150 scale
+        1/255): one atlas gather, then dense selects.  ALBEDO multiplies
+        the live path's throughput; EMIT adds the weighted emission to the
+        chunk accumulator (render.hpp:61-73) — acc still belongs to the
+        right pixel because the fixup runs before the next refill can bank
+        it.  Shape-polymorphic: used at full width and in the narrowed
+        drain stages."""
         idx = jnp.clip(out.fix_idx.astype(jnp.int32), 0, n_atlas - 1)
         if "gather" in _ablate:    # profiling only
             texel = idx.astype(jnp.uint32) * 0
         else:
-            texel = _gather_texels(atlas_flat, idx)
+            # 2D-indexed gather: keeping the (rows, 128) index shape (no
+            # flat reshape) keeps the result in a vector layout — measured
+            # 4.3 ms/bounce cheaper than the flat 1D gather on v5e at
+            # 483k lanes (tools/prof_r3_real.py g2d vs full ablations).
+            texel = atlas_flat[idx]
         txr = (texel & 0xFF).astype(f32) * inv255
         txg = ((texel >> 8) & 0xFF).astype(f32) * inv255
         txb = ((texel >> 16) & 0xFF).astype(f32) * inv255
         is_alb = out.fix_kind == f32(WB.FIX_ALBEDO)
         is_emit = out.fix_kind == f32(WB.FIX_EMIT)
-        st = st._replace(
+        return st._replace(
             tpx=jnp.where(is_alb, st.tpx * txr, st.tpx),
             tpy=jnp.where(is_alb, st.tpy * txg, st.tpy),
             tpz=jnp.where(is_alb, st.tpz * txb, st.tpz),
@@ -433,6 +441,13 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
             accy=jnp.where(is_emit, st.accy + out.fwy * txg, st.accy),
             accz=jnp.where(is_emit, st.accz + out.fwz * txb, st.accz),
         )
+
+    def bounce(carry, _):
+        st, ex, counter = carry
+        if "refill" not in _ablate:
+            st, ex, counter = refill(st, ex, counter)
+        out = step(tables, st)
+        st = apply_fix(out.state, out)
         return (st, ex, counter), None
 
     drop = 3 * n_pix_loc            # flat fb: [r-plane, g-plane, b-plane,
@@ -469,38 +484,130 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
                          bpix1=neg, br1=z, bg1=z, bb1=z)
         return ex, fb
 
+    def flush_acc(st: WB.WaveState, fb: jnp.ndarray) -> jnp.ndarray:
+        """Scatter every lane's chunk accumulator into the framebuffer
+        (same flat channel-plane layout as deposit).  Used at drain-stage
+        boundaries (acc is then zeroed by compact) and as the final
+        residual flush — deposits are additive, so splitting a chunk's
+        acc across flushes only reassociates the f32 sum."""
+        valid = (st.pix >= 0.0).reshape(-1)
+        base = (st.pix - pix_base_f).astype(jnp.int32).reshape(-1)
+        idx = jnp.concatenate([jnp.where(valid, base + c * npl, drop)
+                               for c in range(3)])
+        vals = jnp.concatenate([st.accx.reshape(-1), st.accy.reshape(-1),
+                                st.accz.reshape(-1)])
+        return fb.at[idx].add(vals)
+
+    def compact(st: WB.WaveState, new_rows: int) -> WB.WaveState:
+        """Pack the live lanes of `st` into a (new_rows, 128) state —
+        caller guarantees live count <= new_rows*128 (the drain loops'
+        exit conditions).  Tracing state is gathered through the live-rank
+        permutation; acc must already be flushed (zeroed here) and wrk
+        already summed into the running total (zeroed here).  Pad lanes
+        get alive=0, pix=-1 and s=send=-1 so the kernel can neither trace
+        nor regenerate them (wave_bounce.py:396 regen gate)."""
+        old = st.ox.shape[0] * LANE
+        w = new_rows * LANE
+        live = (st.alive > 0.0).reshape(-1)
+        live_i = live.astype(jnp.int32)
+        rank = jnp.cumsum(live_i) - live_i            # exclusive prefix
+        tgt = jnp.where(live & (rank < w), rank, w)   # w = OOB -> dropped
+        perm = jnp.zeros((w,), jnp.int32).at[tgt].set(
+            jnp.arange(old, dtype=jnp.int32), mode="drop")
+        nlive = jnp.sum(live_i)
+        valid = (jnp.arange(w, dtype=jnp.int32) < nlive).reshape(
+            new_rows, LANE)
+        p2 = perm.reshape(new_rows, LANE)             # 2D gather (g2d)
+        g = lambda a: a.reshape(-1)[p2]
+        z = jnp.zeros((new_rows, LANE), f32)
+        neg1 = jnp.full((new_rows, LANE), -1.0, f32)
+        return WB.WaveState(
+            ox=g(st.ox), oy=g(st.oy), oz=g(st.oz),
+            dx=g(st.dx), dy=g(st.dy), dz=g(st.dz), tm=g(st.tm),
+            rng=g(st.rng),
+            tpx=g(st.tpx), tpy=g(st.tpy), tpz=g(st.tpz),
+            radx=g(st.radx), rady=g(st.rady), radz=g(st.radz),
+            accx=z, accy=z, accz=z,
+            alive=jnp.where(valid, g(st.alive), 0.0),
+            s=jnp.where(valid, g(st.s), neg1),
+            bnc=g(st.bnc), wrk=z,
+            pix=jnp.where(valid, g(st.pix), neg1),
+            send=jnp.where(valid, g(st.send), neg1),
+            strd=jnp.where(valid, g(st.strd), 1.0),
+        )
+
+    # Drain-stage schedule: once the chunk queue is exhausted, surviving
+    # paths (worst case `chunk`*max_depth bounces of one smoke chunk) used
+    # to run on FULL-width lanes — on the final-scene bench that tail was
+    # ~300 of 512 iters at near-zero occupancy (tools/prof_r3_real.py).
+    # Instead, narrow the state 4x per stage (compact) as the live count
+    # decays, so tail bounces run on 1/4 .. 1/64-width grids.
+    n_tiles = rows // tile_rows
+    stage_tiles = []
+    t = n_tiles
+    while t > 1 and len(stage_tiles) < 3:
+        t = max(1, t // 4)
+        stage_tiles.append(t)
+    caps = [t * quantum for t in stage_tiles]     # lane capacity per stage
+    cap1 = jnp.int32(caps[0] if caps else 0)
+
     def body(carry):
-        st, ex, counter, fb, wins = carry
+        st, ex, counter, fb, wins, live = carry
         (st, ex, counter), _ = jax.lax.scan(
             bounce, (st, ex, counter), None, length=window)
         ex, fb = deposit(ex, fb)
-        return st, ex, counter, fb, wins + 1
+        live = jnp.sum((st.alive > 0.0).astype(jnp.int32))
+        return st, ex, counter, fb, wins + 1, live
 
     def cond(carry):
-        st, ex, counter, fb, wins = carry
-        return (counter < n_chunks) | jnp.any(st.alive > 0.0)
+        st, ex, counter, fb, wins, live = carry
+        # run wide while chunks remain to grant, then only until the live
+        # set fits the first drain stage (or is empty, without stages)
+        return (counter < n_chunks) | (live > cap1)
 
     st0 = _zeros_state(rows)
     st0 = st0._replace(s=jnp.full(sh, -1.0, f32),
                        pix=jnp.full(sh, -1.0, f32))
     ex0 = _zeros_extra(rows)
     fb0 = jnp.zeros((3 * n_pix_loc + 1,), f32)  # 3 planes + drop slot
-    st, ex, counter, fb, wins = jax.lax.while_loop(
-        cond, body, (st0, ex0, jnp.int32(0), fb0, jnp.int32(0)))
+    st, ex, counter, fb, wins, live = jax.lax.while_loop(
+        cond, body, (st0, ex0, jnp.int32(0), fb0, jnp.int32(0),
+                     jnp.int32(0)))
+    iters = wins * jnp.int32(window)
+    lane_steps = iters.astype(f32) * f32(rows * LANE)
+    wrk_tot = f32(0)
+
+    def dbounce(st, _):
+        out = step(tables, st)
+        return apply_fix(out.state, out), None
+
+    for i, stiles in enumerate(stage_tiles):
+        wrk_tot = wrk_tot + jnp.sum(st.wrk)
+        fb = flush_acc(st, fb)
+        st = compact(st, stiles * tile_rows)
+        next_cap = jnp.int32(caps[i + 1] if i + 1 < len(caps) else 0)
+        live0 = jnp.sum((st.alive > 0.0).astype(jnp.int32))
+
+        def dbody(c):
+            st, w2, live = c
+            st, _ = jax.lax.scan(dbounce, st, None, length=window)
+            return st, w2 + 1, jnp.sum((st.alive > 0.0).astype(jnp.int32))
+
+        def dcond(c, _cap=next_cap):
+            return c[2] > _cap
+
+        st, w2, live = jax.lax.while_loop(
+            dcond, dbody, (st, jnp.int32(0), live0))
+        iters = iters + w2 * jnp.int32(window)
+        lane_steps = lane_steps + (w2 * jnp.int32(window)).astype(f32) \
+            * f32(stiles * tile_rows * LANE)
 
     # residual flush: the last chunk per lane was never re-granted, so its
     # radiance still sits in acc
-    valid = (st.pix >= 0.0).reshape(-1)
-    base = (st.pix - pix_base_f).astype(jnp.int32).reshape(-1)
-    idx = jnp.concatenate([jnp.where(valid, base + c * npl, drop)
-                           for c in range(3)])
-    vals = jnp.concatenate([st.accx.reshape(-1), st.accy.reshape(-1),
-                            st.accz.reshape(-1)])
-    fb = fb.at[idx].add(vals)
-
-    segs = jnp.sum(st.wrk)
+    fb = flush_acc(st, fb)
+    segs = wrk_tot + jnp.sum(st.wrk)
     fb3 = fb[:drop].reshape(3, n_pix_loc).transpose(1, 0)
-    return fb3, segs, wins * jnp.int32(window)
+    return fb3, segs, iters, lane_steps
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
@@ -510,13 +617,13 @@ def _render_wqw_jit(scene: T.Scene, cam: Camera, width: int, height: int,
                     seed: jnp.ndarray):
     """Full-frame jit wrapper over wq_window_fb."""
     n_pix = width * height
-    fb, segs, iters = wq_window_fb(
+    fb, segs, iters, lane_steps = wq_window_fb(
         scene, cam, width, height, n_pix_loc=n_pix, spp_loc=spp,
         chunk=chunk, window=window, max_depth=max_depth,
         attenuate=attenuate, t_min=t_min, tile_rows=tile_rows,
         interpret=interpret, seed=seed)
     img = (fb / jnp.float32(spp)).reshape(height, width, 3)
-    return img, segs, iters
+    return img, segs, iters, lane_steps
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
@@ -526,7 +633,7 @@ def _render_wqw_range_jit(scene: T.Scene, cam: Camera, width: int,
                           interpret: bool, window: int, chunk: int,
                           samp_base: jnp.ndarray, seed: jnp.ndarray):
     n_pix = width * height
-    fb, segs, iters = wq_window_fb(
+    fb, _segs, _iters, _lane_steps = wq_window_fb(
         scene, cam, width, height, n_pix_loc=n_pix, spp_loc=sc,
         chunk=chunk, window=window, max_depth=max_depth,
         attenuate=attenuate, t_min=t_min, tile_rows=tile_rows,
@@ -573,7 +680,12 @@ def render_wq(scene: T.Scene, cam: Camera, width: int, height: int,
 
     `window` selects bounces per scatter/gather cycle: >1 = the windowed
     driver (production default), 1 = the legacy one-bounce driver (per-step
-    gather+deposit)."""
+    gather+deposit).
+
+    With return_stats: returns (img, traced_segments, bounce_iters,
+    lane_steps); occupancy = traced_segments / lane_steps (the windowed
+    driver narrows its grid during the drain, so lane_steps < iters *
+    full_lane_count there)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if tile_rows is None:
@@ -585,12 +697,15 @@ def render_wq(scene: T.Scene, cam: Camera, width: int, height: int,
             scene, cam, width, height, spp, max_depth,
             bool(attenuate_emission), float(t_min), int(tile_rows),
             bool(interpret), jnp.uint32(seed))
+        n_pix = width * height
+        lanes = _round_up(min(n_pix, n_pix * spp), tile_rows * LANE)
+        lane_steps = iters.astype(jnp.float32) * jnp.float32(lanes)
     else:
-        img, segs, iters = _render_wqw_jit(
+        img, segs, iters, lane_steps = _render_wqw_jit(
             scene, cam, width, height, spp, max_depth,
             bool(attenuate_emission), float(t_min), int(tile_rows),
             bool(interpret), int(window), pick_chunk(spp),
             jnp.uint32(seed))
     if return_stats:
-        return img, segs, iters
+        return img, segs, iters, lane_steps
     return img

@@ -103,7 +103,7 @@ def render_sharded(scene: T.Scene, cam: Camera, width: int, height: int,
             samp_base = k * spp_loc
             valid_pix = jnp.clip(n_pix - pix_base, 0, n_pix_loc)
             valid_cpp = jnp.clip(cpp - k * cpp_loc, 0, cpp_loc)
-            fb, _, _ = wq_window_fb(
+            fb, _, _, _ = wq_window_fb(
                 scene_, cam_, width, height, n_pix_loc=n_pix_loc,
                 spp_loc=spp_loc, chunk=C, window=window,
                 max_depth=max_depth, attenuate=attenuate_emission,

@@ -75,8 +75,8 @@ def test_wq_windowed_matches_legacy_on_segments():
     the jnp renderer itself disagreeing with its own per-sample traces on
     such paths.  A flipped path changes its own length only.)"""
     scene, cam = build_final_scene(1.5)
-    _, segs1, _ = render_wq(scene, cam, 24, 16, 4, max_depth=8, tile_rows=8,
-                            window=1, return_stats=True)
-    _, segsw, _ = render_wq(scene, cam, 24, 16, 4, max_depth=8, tile_rows=8,
-                            window=4, return_stats=True)
+    _, segs1, _, _ = render_wq(scene, cam, 24, 16, 4, max_depth=8,
+                               tile_rows=8, window=1, return_stats=True)
+    _, segsw, _, _ = render_wq(scene, cam, 24, 16, 4, max_depth=8,
+                               tile_rows=8, window=4, return_stats=True)
     assert abs(float(segs1) - float(segsw)) <= 0.002 * float(segs1)

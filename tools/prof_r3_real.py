@@ -24,7 +24,7 @@ TILE_ROWS = int(os.environ.get("TILE_ROWS", "32"))
 def run_one(scene, cam, ablate):
     @jax.jit
     def go(seed):
-        fb, segs, iters = WQ.wq_window_fb(
+        fb, segs, iters, _lane_steps = WQ.wq_window_fb(
             scene, cam, W, H, n_pix_loc=W * H, spp_loc=SPP, chunk=C,
             window=WIN, max_depth=DEPTH, attenuate=False, t_min=1e-3,
             tile_rows=TILE_ROWS, interpret=False, seed=seed,
