@@ -19,7 +19,7 @@ def main():
         if SPP % C:
             continue
         def run():
-            img, segs, iters = _render_wqw_jit(
+            img, segs, iters, _ls = _render_wqw_jit(
                 scene, cam, W, H, SPP, DEPTH, False, 1e-3, 32, False,
                 win, C, jnp.uint32(0))
             jax.block_until_ready(img)

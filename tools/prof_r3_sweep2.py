@@ -23,7 +23,7 @@ def main():
     lanes = _round_up(min(W * H, W * H * SPP), TILE_ROWS * 128)
 
     def run():
-        img, segs, iters = _render_wqw_jit(
+        img, segs, iters, _ls = _render_wqw_jit(
             scene, cam, W, H, SPP, DEPTH, False, 1e-3, TILE_ROWS, False,
             WIN, C, jnp.uint32(0))
         jax.block_until_ready(img)

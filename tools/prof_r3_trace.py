@@ -27,7 +27,7 @@ def main():
     scene, cam = build_final_scene(W / H)
 
     def run():
-        img, segs, iters = _render_wqw_jit(
+        img, segs, iters, _ls = _render_wqw_jit(
             scene, cam, W, H, SPP, DEPTH, False, 1e-3, 32, False,
             WIN, C, jnp.uint32(0))
         jax.block_until_ready(img)
