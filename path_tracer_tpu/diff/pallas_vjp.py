@@ -485,14 +485,18 @@ def replay_radiance(scene: T.Scene, cam: Camera, res: Residuals,
 # custom_vjp glue
 # ---------------------------------------------------------------------------
 
-def make_render_grad(width: int, height: int, pix: jnp.ndarray,
-                     samp: jnp.ndarray, *, max_depth: int = 8,
-                     attenuate: bool = True, t_min: float = 1e-3,
-                     seed: int = 0, tile_rows: int = None,
-                     interpret: bool = None):
-    """Build `f(scene, cam) -> (L, 3)` whose forward runs the pallas
-    megakernel and whose VJP runs the winner-only replay.  `pix`/`samp`
-    are fixed (L,) sample ids (close over them per training setup)."""
+def render_grad_fn(width: int, height: int, *, max_depth: int = 8,
+                   attenuate: bool = True, t_min: float = 1e-3,
+                   seed: int = 0, tile_rows: int = None,
+                   interpret: bool = None):
+    """Build `f(scene, cam, pix, samp) -> (L, 3)` whose forward runs the
+    pallas megakernel and whose VJP runs the winner-only replay.
+
+    Unlike `make_render_grad`, `pix`/`samp` are runtime ARGUMENTS (float
+    arrays of exact small ints, zero cotangent) so the same compiled `f`
+    serves every shard of a `shard_map` training step — the composition
+    the distributed train step uses (parallel.mesh.make_train_step
+    backend="pallas")."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if tile_rows is None:
@@ -501,25 +505,42 @@ def make_render_grad(width: int, height: int, pix: jnp.ndarray,
                seed=seed)
 
     @jax.custom_vjp
-    def f(scene, cam):
+    def f(scene, cam, pix, samp):
         rad, _ = record_forward(scene, cam, width, height, pix, samp,
                                 tile_rows=tile_rows, interpret=interpret,
                                 **cfg)
         return rad
 
-    def fwd(scene, cam):
+    def fwd(scene, cam, pix, samp):
         rad, res = record_forward(scene, cam, width, height, pix, samp,
                                   tile_rows=tile_rows, interpret=interpret,
                                   **cfg)
-        return rad, (scene, cam, res)
+        return rad, (scene, cam, res, pix, samp)
 
     def bwd(saved, g):
-        scene, cam, res = saved
+        scene, cam, res, pix, samp = saved
         _, vjp_fn = jax.vjp(
             lambda s, c: replay_radiance(
                 s, c, res, pix, samp, width=width, height=height, **cfg),
             scene, cam)
-        return vjp_fn(g)
+        ds, dc = vjp_fn(g)
+        return ds, dc, jnp.zeros_like(pix), jnp.zeros_like(samp)
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def make_render_grad(width: int, height: int, pix: jnp.ndarray,
+                     samp: jnp.ndarray, *, max_depth: int = 8,
+                     attenuate: bool = True, t_min: float = 1e-3,
+                     seed: int = 0, tile_rows: int = None,
+                     interpret: bool = None):
+    """Build `f(scene, cam) -> (L, 3)` closed over fixed (L,) sample ids —
+    thin wrapper over `render_grad_fn` (kept for single-device use and the
+    FD-anchored tests)."""
+    g = render_grad_fn(width, height, max_depth=max_depth,
+                       attenuate=attenuate, t_min=t_min, seed=seed,
+                       tile_rows=tile_rows, interpret=interpret)
+    pix_f = jnp.asarray(pix, jnp.float32)
+    samp_f = jnp.asarray(samp, jnp.float32)
+    return lambda scene, cam: g(scene, cam, pix_f, samp_f)

@@ -52,6 +52,17 @@ from .integrator import camera_rays
 LANE = WB.LANE
 DEF_TILE_ROWS = 32      # v5e sweep winner (tools/prof_tiles.py): 32 rows
                         # beats 64 by ~1.3x (VMEM working set per program)
+DEPOSIT_MODE = "2dsep"  # deposit scatter layout (tools/prof_r4_deposit.py):
+                        # "2dsep" = six scatter-adds whose index/value
+                        # operands keep their (rows, LANE) vector layout —
+                        # measured 19.6 -> 14.8 ms/full-width bounce on v5e
+                        # vs the flat-concat form ("flat"; "2d" = one
+                        # axis-1-concat scatter, no win)
+SCAN_UNROLL = 64        # window-scan unroll (min'd with window).  Fully
+                        # unrolling the 16-bounce window measured 29.7 ->
+                        # 44.4 Mray/s on v5e: the rolled scan forced a
+                        # layout/spill boundary between the per-bounce
+                        # atlas gather and the window deposit
 
 
 def _round_up(n: int, m: int) -> int:
@@ -433,10 +444,14 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         txb = ((texel >> 16) & 0xFF).astype(f32) * inv255
         is_alb = out.fix_kind == f32(WB.FIX_ALBEDO)
         is_emit = out.fix_kind == f32(WB.FIX_EMIT)
-        return st._replace(
+        st = st._replace(
             tpx=jnp.where(is_alb, st.tpx * txr, st.tpx),
             tpy=jnp.where(is_alb, st.tpy * txg, st.tpy),
             tpz=jnp.where(is_alb, st.tpz * txb, st.tpz),
+        )
+        if "emitfix" in _ablate:   # profiling only
+            return st
+        return st._replace(
             accx=jnp.where(is_emit, st.accx + out.fwx * txr, st.accx),
             accy=jnp.where(is_emit, st.accy + out.fwy * txg, st.accy),
             accz=jnp.where(is_emit, st.accz + out.fwz * txb, st.accz),
@@ -459,11 +474,12 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         (tools/prof_r3_inloop.py), so rgb deposits go to three channel
         planes of a flat fb.  Empty slots hit the drop slot; banked pix
         values are global, fb is local."""
-        def plane_idx(bpix):
+        mode = DEPOSIT_MODE
+
+        def plane_idx2d(bpix):
             valid = bpix >= 0.0
-            base = (bpix - pix_base_f).astype(jnp.int32).reshape(-1)
-            mk = lambda c: jnp.where(valid.reshape(-1),
-                                     base + c * npl, drop)
+            base = (bpix - pix_base_f).astype(jnp.int32)
+            mk = lambda c: jnp.where(valid, base + c * npl, drop)
             return mk(0), mk(1), mk(2)
 
         if "deposit" in _ablate:   # profiling only
@@ -471,13 +487,26 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
             z = jnp.zeros_like(ex.br0)
             return ex._replace(bpix0=neg, br0=z, bg0=z, bb0=z,
                                bpix1=neg, br1=z, bg1=z, bb1=z), fb
-        r0, g0, b0 = plane_idx(ex.bpix0)
-        r1, g1, b1 = plane_idx(ex.bpix1)
-        idx = jnp.concatenate([r0, g0, b0, r1, g1, b1])
-        vals = jnp.concatenate([
-            ex.br0.reshape(-1), ex.bg0.reshape(-1), ex.bb0.reshape(-1),
-            ex.br1.reshape(-1), ex.bg1.reshape(-1), ex.bb1.reshape(-1)])
-        fb = fb.at[idx].add(vals)
+        r0, g0, b0 = plane_idx2d(ex.bpix0)
+        r1, g1, b1 = plane_idx2d(ex.bpix1)
+        if mode == "2d":
+            # indices and values keep their (rows, LANE) vector layout;
+            # one scatter-add with 2D index/value blocks
+            idx = jnp.concatenate([r0, g0, b0, r1, g1, b1], axis=1)
+            vals = jnp.concatenate([ex.br0, ex.bg0, ex.bb0,
+                                    ex.br1, ex.bg1, ex.bb1], axis=1)
+            fb = fb.at[idx].add(vals)
+        elif mode == "2dsep":
+            for i2, v2 in ((r0, ex.br0), (g0, ex.bg0), (b0, ex.bb0),
+                           (r1, ex.br1), (g1, ex.bg1), (b1, ex.bb1)):
+                fb = fb.at[i2].add(v2)
+        else:
+            idx = jnp.concatenate([x.reshape(-1)
+                                   for x in (r0, g0, b0, r1, g1, b1)])
+            vals = jnp.concatenate([
+                ex.br0.reshape(-1), ex.bg0.reshape(-1), ex.bb0.reshape(-1),
+                ex.br1.reshape(-1), ex.bg1.reshape(-1), ex.bb1.reshape(-1)])
+            fb = fb.at[idx].add(vals)
         neg = jnp.full_like(ex.bpix0, -1.0)
         z = jnp.zeros_like(ex.br0)
         ex = ex._replace(bpix0=neg, br0=z, bg0=z, bb0=z,
@@ -554,7 +583,8 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
     def body(carry):
         st, ex, counter, fb, wins, live = carry
         (st, ex, counter), _ = jax.lax.scan(
-            bounce, (st, ex, counter), None, length=window)
+            bounce, (st, ex, counter), None, length=window,
+            unroll=min(SCAN_UNROLL, window))
         ex, fb = deposit(ex, fb)
         live = jnp.sum((st.alive > 0.0).astype(jnp.int32))
         return st, ex, counter, fb, wins + 1, live
@@ -590,7 +620,8 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
 
         def dbody(c):
             st, w2, live = c
-            st, _ = jax.lax.scan(dbounce, st, None, length=window)
+            st, _ = jax.lax.scan(dbounce, st, None, length=window,
+                                 unroll=min(SCAN_UNROLL, window))
             return st, w2 + 1, jnp.sum((st.alive > 0.0).astype(jnp.int32))
 
         def dcond(c, _cap=next_cap):

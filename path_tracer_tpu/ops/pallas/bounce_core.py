@@ -152,10 +152,18 @@ class Adv(NamedTuple):
 
 def advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
             oxv, oyv, ozv, dxv, dyv, dzv, tmv, rngv, alive_b,
-            *, n_med: int, t_min: float) -> Adv:
+            *, n_med: int, t_min: float, sph_v=None,
+            ablate: frozenset = frozenset()) -> Adv:
     """One path segment for every lane in the block.  Pure function of the
     values; scene tables are SMEM refs (or arrays in interpret mode) indexed
-    scalar-wise inside fold loops."""
+    scalar-wise inside fold loops.
+
+    `sph_v` is a VMEM copy of the sphere table padded to a 128-column
+    multiple: the hot fold carries only (best key, best index) — 10 fewer
+    selects per sphere-lane pair than carrying the winner payload — and the
+    winner's 14 attributes are reconstructed afterwards with per-block lane
+    gathers (take_along_axis) from sph_v, whose cost is O(blocks), not
+    O(spheres).  `ablate` disables stages for profiling only."""
     f32 = jnp.float32
 
     a = dxv * dxv + dyv * dyv + dzv * dzv
@@ -166,62 +174,54 @@ def advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
     # =================== sphere fold (key = t*a space) ====================
     zero = jnp.zeros_like(a)
     bk = jnp.full_like(a, jnp.inf)
-    bcx = zero; bcy = zero; bcz = zero
-    brinv = zero; bmeta = zero; bpar = zero
-    bar = zero; bag = zero; bab = zero
+    bidx = zero
 
     def sph_static(i, c):
-        (bk, bcx, bcy, bcz, brinv, bmeta, bpar, bar, bag, bab) = c
-        cx = sph[0, i]; cy = sph[1, i]; cz = sph[2, i]
-        r2 = sph[8, i]
+        bk, bidx = c
         # direct oc form (sphere.hpp:60-64): the factorized
         # o.o - 2(c.o) + |c|^2 - r^2 cancels catastrophically for far
-        # spheres (|c|^2 ~ 3.6e3 in the reference scene)
-        ocx = oxv - cx; ocy = oyv - cy; ocz = ozv - cz
-        b = ocx * dxv + ocy * dyv + ocz * dzv
-        cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
-        disc = b * b - a * cc
+        # spheres (|c|^2 ~ 3.6e3 in the reference scene).  co = c - o is
+        # the exact negation of the reference's oc, so nb == -b bitwise
+        # and every key below matches the payload-carrying fold exactly.
+        cox = sph[0, i] - oxv
+        coy = sph[1, i] - oyv
+        coz = sph[2, i] - ozv
+        nb = cox * dxv + coy * dyv + coz * dzv      # = -b
+        cc = cox * cox + coy * coy + coz * coz - sph[8, i]
+        disc = nb * nb - a * cc
         has = disc > 0.0           # strict: tangent (disc==0) misses
         # sqrt(neg) -> NaN; NaN comparisons are false, so no pre-clamp
         sq = jnp.sqrt(disc)
-        negb = -b
-        k1 = negb - sq
-        k2 = negb + sq
+        k1 = nb - sq
+        k2 = nb + sq
         # reference two-root selection in the running-best window
         # (sphere.hpp:76-92): first root if it passes, else second root
         cand = jnp.where(k1 > tmin_a, k1, k2)
         upd = has & (cand > tmin_a) & (cand < bk)
-        sel = lambda new, old: jnp.where(upd, new, old)
-        return (sel(cand, bk), sel(cx, bcx), sel(cy, bcy), sel(cz, bcz),
-                sel(sph[9, i], brinv), sel(sph[10, i], bmeta),
-                sel(sph[11, i], bpar), sel(sph[12, i], bar),
-                sel(sph[13, i], bag), sel(sph[14, i], bab))
+        return (jnp.where(upd, cand, bk),
+                jnp.where(upd, i.astype(f32), bidx))
 
     def sph_moving(i, c):
-        (bk, bcx, bcy, bcz, brinv, bmeta, bpar, bar, bag, bab) = c
+        bk, bidx = c
         kmov = (tmv - sph[6, i]) * sph[7, i]
-        cx = sph[0, i] + kmov * sph[3, i]
-        cy = sph[1, i] + kmov * sph[4, i]
-        cz = sph[2, i] + kmov * sph[5, i]
-        r2 = sph[8, i]
-        ocx = oxv - cx; ocy = oyv - cy; ocz = ozv - cz
-        b = ocx * dxv + ocy * dyv + ocz * dzv
-        cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
-        disc = b * b - a * cc
+        # same associations as the static/payload form: c = c0 + kmov*dc
+        # first, then co = c - o (exact negation of oc)
+        cox = (sph[0, i] + kmov * sph[3, i]) - oxv
+        coy = (sph[1, i] + kmov * sph[4, i]) - oyv
+        coz = (sph[2, i] + kmov * sph[5, i]) - ozv
+        nb = cox * dxv + coy * dyv + coz * dzv
+        cc = cox * cox + coy * coy + coz * coz - sph[8, i]
+        disc = nb * nb - a * cc
         has = disc > 0.0
         sq = jnp.sqrt(disc)
-        negb = -b
-        k1 = negb - sq
-        k2 = negb + sq
+        k1 = nb - sq
+        k2 = nb + sq
         cand = jnp.where(k1 > tmin_a, k1, k2)
         upd = has & (cand > tmin_a) & (cand < bk)
-        sel = lambda new, old: jnp.where(upd, new, old)
-        return (sel(cand, bk), sel(cx, bcx), sel(cy, bcy), sel(cz, bcz),
-                sel(sph[9, i], brinv), sel(sph[10, i], bmeta),
-                sel(sph[11, i], bpar), sel(sph[12, i], bar),
-                sel(sph[13, i], bag), sel(sph[14, i], bab))
+        return (jnp.where(upd, cand, bk),
+                jnp.where(upd, i.astype(f32), bidx))
 
-    carry = (bk, bcx, bcy, bcz, brinv, bmeta, bpar, bar, bag, bab)
+    carry = (bk, bidx)
     sph_snap = []
     start = jnp.int32(0)
     for mseg in range(n_med + 1):
@@ -232,8 +232,32 @@ def advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
         if mseg < n_med:
             sph_snap.append(carry[0])
         start = end
-    (bk, bcx, bcy, bcz, brinv, bmeta, bpar, bar, bag, bab) = carry
+    bk, bidx = carry
     s_t = bk * inv_a   # inf stays inf
+
+    # ---- winner attribute reconstruction (O(blocks) lane gathers) --------
+    if sph_v is None:
+        raise ValueError("advance() requires the VMEM sphere table sph_v")
+    n_sph_pad = sph_v.shape[1]
+    assert n_sph_pad % LANE == 0, n_sph_pad
+    blkf = jnp.floor(bidx * f32(1.0 / LANE))
+    loc = (bidx - blkf * f32(LANE)).astype(jnp.int32)
+    # rows: 0-7 c0/dc/t0/invd, 9 rinv, 10 meta, 11 par, 12-14 rgb
+    rows_needed = (0, 1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 12, 13, 14)
+    attr = {j: zero for j in rows_needed}
+    for b in range(n_sph_pad // LANE):
+        inb = blkf == f32(b)
+        for j in rows_needed:
+            rowv = jnp.broadcast_to(sph_v[j:j + 1, b * LANE:(b + 1) * LANE],
+                                    loc.shape)
+            g = jnp.take_along_axis(rowv, loc, axis=1)
+            attr[j] = jnp.where(inb, g, attr[j])
+    kmov_w = (tmv - attr[6]) * attr[7]       # 0 for static spheres
+    bcx = attr[0] + kmov_w * attr[3]
+    bcy = attr[1] + kmov_w * attr[4]
+    bcz = attr[2] + kmov_w * attr[5]
+    brinv = attr[9]; bmeta = attr[10]; bpar = attr[11]
+    bar = attr[12]; bag = attr[13]; bab = attr[14]
 
     # =================== rect fold (t space, reject form) ==================
     inv_dx = 1.0 / dxv
@@ -279,7 +303,8 @@ def advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
     start = jnp.int32(0)
     for mseg in range(n_med + 1):
         end = rect_segs[mseg]
-        carry_r = jax.lax.fori_loop(start, end, rect_body, carry_r)
+        if "rects" not in ablate:
+            carry_r = jax.lax.fori_loop(start, end, rect_body, carry_r)
         if mseg < n_med:
             rect_snap.append(carry_r[0])
         start = end
@@ -324,7 +349,8 @@ def advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
     start = jnp.int32(0)
     for mseg in range(n_med + 1):
         end = tri_segs[mseg]
-        carry_t = jax.lax.fori_loop(start, end, tri_body, carry_t)
+        if "tris" not in ablate:
+            carry_t = jax.lax.fori_loop(start, end, tri_body, carry_t)
         if mseg < n_med:
             tri_snap.append(carry_t[0])
         start = end
@@ -496,7 +522,7 @@ def advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
     c1x_ = zero; c1y_ = zero; c1z_ = zero
     c2x_ = zero; c2y_ = zero; c2z_ = zero
     twf = zero; thf = zero; toff = zero; tfreq = zero
-    for j2 in range(MAX_SPECIAL_TEX):
+    for j2 in range(0 if "tex" in ablate else MAX_SPECIAL_TEX):
         mj = texref == f32(j2)
         mjf = jnp.where(mj, 1.0, 0.0)
         c1x_ += mjf * spec[1, j2]; c1y_ += mjf * spec[2, j2]

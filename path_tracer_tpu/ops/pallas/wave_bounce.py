@@ -275,6 +275,8 @@ FIX_OUT = ("fix_kind", "fix_idx", "fwx", "fwy", "fwz")
 def _wave_kernel(# SMEM tables
                  sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
                  cam, seed,
+                 # VMEM copy of the sphere table (winner reconstruction)
+                 sph_v,
                  # VMEM state in
                  ox, oy, oz, dx, dy, dz, tm, rng, tpx, tpy, tpz,
                  radx, rady, radz, accx, accy, accz, alive, s, bnc, wrk,
@@ -290,7 +292,7 @@ def _wave_kernel(# SMEM tables
                  o_fix_kind, o_fix_idx, o_fwx, o_fwy, o_fwz,
                  o_win, o_thit,
                  *, n_med: int, t_min: float, max_depth: int,
-                 attenuate: bool):
+                 attenuate: bool, ablate: frozenset = frozenset()):
     f32 = jnp.float32
     oxv, oyv, ozv = ox[:, :], oy[:, :], oz[:, :]
     dxv, dyv, dzv = dx[:, :], dy[:, :], dz[:, :]
@@ -321,7 +323,7 @@ def _wave_kernel(# SMEM tables
     # ---- one shared path segment -----------------------------------------
     adv = advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
                   oxv, oyv, ozv, dxv, dyv, dzv, tmv, rngv, alive_b,
-                  n_med=n_med, t_min=t_min)
+                  n_med=n_med, t_min=t_min, sph_v=sph_v, ablate=ablate)
     rngv_cur = adv.rng
 
     # =================== termination + sky (render.hpp:58-91) ==============
@@ -466,7 +468,8 @@ def wave_bounce(tables: SceneTables, st: WaveState,
                 fix=None, texel: jnp.ndarray = None, *, t_min: float,
                 max_depth: int, attenuate: bool,
                 tile_rows: int = DEF_TILE_ROWS,
-                interpret: bool = False) -> WaveOut:
+                interpret: bool = False,
+                ablate: frozenset = frozenset()) -> WaveOut:
     """One bounce for every lane.  Lane count = rows*128 with rows a
     multiple of tile_rows.  `fix` is the previous call's WaveOut (or None
     for the first bounce) and `texel` the atlas texels for its fix_idx,
@@ -483,9 +486,16 @@ def wave_bounce(tables: SceneTables, st: WaveState,
                                          fix.fwz)
         assert texel is not None
 
+    # VMEM copy of the sphere table, padded to a lane multiple, for the
+    # post-fold winner-attribute lane gathers (bounce_core.advance)
+    p_sph = tables.sph.shape[1]
+    p_pad = -(-p_sph // LANE) * LANE
+    sph_v = jnp.pad(tables.sph, ((0, 0), (0, p_pad - p_sph)))
+
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vspec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
     f32 = jnp.float32
     sds = jax.ShapeDtypeStruct
     state_sh = (rows, LANE)
@@ -494,17 +504,18 @@ def wave_bounce(tables: SceneTables, st: WaveState,
                  + [sds(state_sh, f32)] * 7)           # fix + win + t_hit
     kern = functools.partial(
         _wave_kernel, n_med=n_med, t_min=float(t_min),
-        max_depth=int(max_depth), attenuate=bool(attenuate))
+        max_depth=int(max_depth), attenuate=bool(attenuate),
+        ablate=ablate)
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[smem] * 10 + [vspec] * 29,
+        in_specs=[smem] * 10 + [vfull] + [vspec] * 29,
         out_specs=[vspec] * 28,
         out_shape=out_shape,
         interpret=interpret,
     )(tables.sph, tables.sph_segs, tables.rect, tables.rect_segs,
       tables.tri, tables.tri_segs, tables.med, tables.spec, tables.cam,
-      tables.seed,
+      tables.seed, sph_v,
       st.ox, st.oy, st.oz, st.dx, st.dy, st.dz, st.tm, st.rng,
       st.tpx, st.tpy, st.tpz, st.radx, st.rady, st.radz,
       st.accx, st.accy, st.accz, st.alive, st.s, st.bnc, st.wrk,

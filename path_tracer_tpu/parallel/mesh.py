@@ -162,14 +162,29 @@ def render_sharded(scene: T.Scene, cam: Camera, width: int, height: int,
 def make_train_step(static_scene, static_cam_tree, width: int, height: int,
                     local_spp: int, max_depth: int, mesh: Mesh,
                     lr: float = 0.05, t_min: float = 1e-3,
-                    grad_filter=None):
+                    grad_filter=None, backend: str = "pallas",
+                    tile_rows: Optional[int] = None,
+                    interpret: Optional[bool] = None):
     """Build a jitted distributed SGD step for inverse rendering.
 
     params: float-partitioned (scene, camera) pytree (see diff.params).
     Pixels are sharded over "tiles", samples over "spp"; the scalar loss and
     parameter gradients are psum-reduced over both axes — gradient
-    all-reduce across the slice, overlapped by XLA with the backward bounce
-    scan.  Returns step(params, target, pix_ids) -> (params', loss)."""
+    all-reduce across the slice.  Returns step(params, target, pix_ids) ->
+    (params', loss).
+
+    backend="pallas" (default): forward = the pallas megakernel recording
+    residuals, backward = the winner-only replay (diff.pallas_vjp
+    render_grad_fn) — the production gradient route, ~the megakernel's
+    forward speed.  backend="jnp": reverse-mode through the full jnp
+    bounce fold (trace(differentiable=True)), kept as the cross-check
+    oracle (tests/test_grad.py pins the two routes against each other and
+    against finite differences)."""
+    if backend == "pallas":
+        from ..diff.pallas_vjp import render_grad_fn
+        grad_f = render_grad_fn(width, height, max_depth=max_depth,
+                                attenuate=True, t_min=t_min, seed=0,
+                                tile_rows=tile_rows, interpret=interpret)
 
     def local_loss(params, target, pix, spp_idx, tile_idx):
         scene_, cam_ = combine(params, (static_scene, static_cam_tree))
@@ -177,16 +192,22 @@ def make_train_step(static_scene, static_cam_tree, width: int, height: int,
         lanes_pix = jnp.tile(pix, local_spp)
         samp = (spp_idx.astype(jnp.uint32) * local_spp
                 + jnp.repeat(jnp.arange(local_spp, dtype=jnp.uint32), npx))
-        state = rng_mod.seed_perf(lanes_pix, samp, 0)
-        state, o, d, tmv = camera_rays(cam_, width, height, lanes_pix, state)
-        _, rad = trace(scene_, o, d, tmv, state, max_depth,
-                       attenuate_emission=True, t_min=t_min,
-                       differentiable=True)
-        img = jnp.stack([
-            jnp.mean(rad.x.reshape(local_spp, npx), axis=0),
-            jnp.mean(rad.y.reshape(local_spp, npx), axis=0),
-            jnp.mean(rad.z.reshape(local_spp, npx), axis=0),
-        ], axis=-1)
+        if backend == "pallas":
+            rad3 = grad_f(scene_, cam_, lanes_pix.astype(jnp.float32),
+                          samp.astype(jnp.float32))
+            img = jnp.mean(rad3.reshape(local_spp, npx, 3), axis=0)
+        else:
+            state = rng_mod.seed_perf(lanes_pix, samp, 0)
+            state, o, d, tmv = camera_rays(cam_, width, height, lanes_pix,
+                                           state)
+            _, rad = trace(scene_, o, d, tmv, state, max_depth,
+                           attenuate_emission=True, t_min=t_min,
+                           differentiable=True)
+            img = jnp.stack([
+                jnp.mean(rad.x.reshape(local_spp, npx), axis=0),
+                jnp.mean(rad.y.reshape(local_spp, npx), axis=0),
+                jnp.mean(rad.z.reshape(local_spp, npx), axis=0),
+            ], axis=-1)
         err = img - target
         # mean over the GLOBAL pixel/sample population
         return jnp.sum(err * err) / jnp.float32(width * height * 3)
@@ -195,6 +216,9 @@ def make_train_step(static_scene, static_cam_tree, width: int, height: int,
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P("tiles"), P("tiles")),
         out_specs=(P(), P()),
+        # pallas_call can't annotate varying-mesh-axes metadata yet (same
+        # situation as render_sharded's wq body): body is local + psums.
+        check_vma=False,
     )
     def sharded_grad(params, target, pix):
         spp_idx = jax.lax.axis_index("spp")
