@@ -35,9 +35,9 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--renderer", default="auto", choices=list(RENDERERS),
                    help="launch strategy: wq = windowed work-queue "
                         "megakernel (the TPU production path, auto default "
-                        "on accelerators); wave = two-phase "
-                        "megakernel; wavefront = jnp bounce loop (auto "
-                        "default on CPU); parity = reference RNG streams")
+                        "on accelerators); wavefront = jnp bounce loop "
+                        "(auto default on CPU); parity = reference RNG "
+                        "streams")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--t-min", type=float, default=1e-3)
     r.add_argument("--attenuate-emission", action="store_true",
@@ -141,18 +141,12 @@ def _cmd_render(args) -> int:
                     scene, cam, cfg.width, cfg.height, cfg.spp,
                     cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
                     cfg.seed, return_stats=True)
-            elif renderer == "wave":
-                from .engine.wave import render_wave
-                img, segments = render_wave(
-                    scene, cam, cfg.width, cfg.height, cfg.spp,
-                    cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
-                    cfg.seed, return_segments=True)
             elif renderer == "wavefront":
                 img, segments = render_wavefront(
                     scene, cam, cfg.width, cfg.height, cfg.spp,
                     cfg.max_depth, cfg.attenuate_emission, cfg.t_min,
                     cfg.seed, cfg.tile_pix, cfg.slots,
-                    return_segments=True, use_pallas=cfg.use_pallas)
+                    return_segments=True)
             elif renderer == "fused":
                 img = render_fused(scene, cam, cfg.width, cfg.height,
                                    cfg.spp, cfg.max_depth,

@@ -14,7 +14,7 @@ from typing import Optional
 
 # Single source of truth for launch strategies: the CLI's --renderer
 # choices, RenderConfig.validate, and the auto default all key off this.
-RENDERERS = ("auto", "wq", "wave", "wavefront", "fused", "perf",
+RENDERERS = ("auto", "wq", "wavefront", "fused", "perf",
              "parity")
 
 
@@ -47,7 +47,6 @@ class RenderConfig:
     # wavefront tuning
     tile_pix: int = 16384
     slots: int = 4
-    use_pallas: Optional[bool] = None  # None = auto (TPU only)
     # checkpointing: save partial accumulators every N spp; "" disables
     checkpoint_dir: str = ""
     checkpoint_every: int = 0

@@ -56,11 +56,9 @@ class PathState(NamedTuple):
 
 
 def _bounce(scene: T.Scene, state: PathState, attenuate_emission: bool,
-            t_min: float, exact: bool = True,
-            use_pallas: bool = False) -> PathState:
+            t_min: float, exact: bool = True) -> PathState:
     o, d, time, rng, tp, rad, alive = state
-    rng, hit = intersect_scene(scene, o, d, time, rng, alive, t_min, exact,
-                               use_pallas)
+    rng, hit = intersect_scene(scene, o, d, time, rng, alive, t_min, exact)
 
     # miss -> sky gradient * attenuation (render.hpp:83-87)
     miss = alive & ~hit.hit
@@ -276,12 +274,11 @@ class _WaveState(NamedTuple):
                            # diagnostic: segments / (iters * n_lanes))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 11))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _render_wavefront_jit(scene: T.Scene, cam: Camera, width: int,
                           height: int, spp: int, tile_pix: int, slots: int,
                           max_depth: int, attenuate_emission: bool,
-                          t_min: float, seed: jnp.ndarray,
-                          use_pallas: bool = False):
+                          t_min: float, seed: jnp.ndarray):
     """Single-dispatch wavefront renderer WITH path regeneration.
 
     Lanes are pinned to pixels (tile_pix pixels x ``slots`` lanes each); a
@@ -348,7 +345,7 @@ def _render_wavefront_jit(scene: T.Scene, cam: Camera, width: int,
                 ws.path.alive.astype(jnp.float32))
             was_alive = ws.path.alive
             st = _bounce(scene, ws.path, attenuate_emission, t_min,
-                         exact=False, use_pallas=use_pallas)
+                         exact=False)
             bounces = ws.bounces + 1
             # depth exhaustion terminates with black (render.hpp:91)
             exhausted = st.alive & (bounces >= max_depth)
@@ -395,20 +392,16 @@ def render_wavefront(scene: T.Scene, cam: Camera, width: int, height: int,
                      attenuate_emission: bool = False, t_min: float = 1e-3,
                      seed: int = 0, tile_pix: Optional[int] = None,
                      slots: Optional[int] = None,
-                     return_segments: bool = False, use_pallas=None,
+                     return_segments: bool = False,
                      return_stats: bool = False):
     """Regenerating single-dispatch renderer — the perf default.  Output
     (H, W, 3) (+ traced segment count if requested; return_stats adds the
-    loop-iteration count for occupancy diagnostics).  use_pallas=None picks
-    the fused VMEM megakernel automatically on TPU backends.
+    loop-iteration count for occupancy diagnostics).
 
-    Default tiling: with the pallas fold (no (N, P) HBM temporaries) the
-    whole frame is ONE tile and each lane works through its pixel's samples
-    sequentially (slots small): per-lane totals then concentrate around
-    spp/slots * avg-path-len, so the while_loop's straggler tail costs a
-    small factor instead of the ~10x measured with 4-slot 16K tiles at low
-    samples-per-lane.  The jnp fallback keeps small tiles to bound the
-    (N, P) intermediates."""
+    Pure-jnp engine: the oracle the production wq megakernel is anchored
+    against (tests/test_wq.py).  Small tiles bound the (N, P)
+    intersection intermediates.  (The retired prim_fold in-loop pallas
+    branch was deleted in r4 — perf lives in engine.wq.)"""
     n_pix = width * height
     on_tpu = jax.default_backend() not in ("cpu",)
     if tile_pix is None:
@@ -422,11 +415,9 @@ def render_wavefront(scene: T.Scene, cam: Camera, width: int, height: int,
         slots = 1 if on_tpu else 4
     tile_pix = min(tile_pix, -(-n_pix // 256) * 256)
     slots = max(1, min(slots, spp))
-    if use_pallas is None:
-        use_pallas = on_tpu and (tile_pix * slots) % 256 == 0
     fb, segments, iters = _render_wavefront_jit(
         scene, cam, width, height, spp, tile_pix, slots, max_depth,
-        attenuate_emission, t_min, jnp.uint32(seed), bool(use_pallas))
+        attenuate_emission, t_min, jnp.uint32(seed))
     img = jnp.stack([fb[0], fb[1], fb[2]], axis=-1).reshape(height, width, 3)
     if return_stats:
         return img, {"segments": segments, "iters": iters,

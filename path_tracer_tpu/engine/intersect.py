@@ -596,7 +596,6 @@ def build_hit(scene: T.Scene, best: _Best, ro: Vec3, rd: Vec3,
 def intersect_scene(scene: T.Scene, ro: Vec3, rd: Vec3, rtime: jnp.ndarray,
                     rng_state: jnp.ndarray, lane_mask: jnp.ndarray,
                     t_min: float = 1e-3, exact: bool = True,
-                    use_pallas: bool = False,
                     triangle_algorithm: str = "moller_trumbore"
                     ) -> Tuple[jnp.ndarray, Hit]:
     """hit_world (render.hpp:30-51) for a ray batch.  ``lane_mask`` gates the
@@ -604,61 +603,27 @@ def intersect_scene(scene: T.Scene, ro: Vec3, rd: Vec3, rtime: jnp.ndarray,
 
     exact=True uses the reference-associativity sphere kernel (parity mode);
     exact=False uses the MXU-factorized kernel (ulp-level deviations).
-    use_pallas=True (perf mode on TPU, lane count multiple of 256) folds the
-    sphere class in the fused VMEM kernel instead of materializing (N, P)
-    matrices in HBM."""
+    (The retired prim_fold pallas branch was deleted in r4: the production
+    renderer is the wq megakernel; this jnp path is the oracle/parity
+    engine.)"""
     t_min_py = float(t_min)
     t_min = jnp.float32(t_min)
-    if use_pallas and not exact:
-        # ONE fused VMEM kernel for all three primitive classes + the
-        # per-medium prefix minima; only O(N) merge/gather work remains.
-        from ..ops.pallas.prim_fold import prim_fold
-        (t_s, idx_s, t_r, idx_r, t_t3, idx_t3, prim_prefix) = prim_fold(
-            scene, ro, rd, rtime, t_min_py, scene.media.scan)
+    sph_kernel = sphere_t_matrix if exact else sphere_t_matrix_mxu
+    ts = sph_kernel(scene.spheres, ro, rd, rtime, t_min, INF)
+    best_s = _class_best(ts, scene.spheres.scan, None, CLASS_SPHERE,
+                         tie_wins_later=False)
+    tr = rect_t_matrix(scene.rects, ro, rd, t_min, INF)
+    tt = TRIANGLE_KERNELS[triangle_algorithm](
+        scene.triangles, ro, rd, t_min, INF)
+    best_r = _class_best(tr, scene.rects.scan, scene.rects.sub,
+                         CLASS_RECT, tie_wins_later=True)
+    best_t = _class_best(tt, scene.triangles.scan, None, CLASS_TRI,
+                         tie_wins_later=True)
+    prim_best = _merge(_merge(best_s, best_r), best_t)
+    class_mats = [(ts, scene.spheres.scan), (tr, scene.rects.scan),
+                  (tt, scene.triangles.scan)]
+    prim_prefix_arg = None
 
-        def mk_best(t, idx, scan_tab, sub_tab, cls, tie):
-            hit = t < INF
-            idx = jnp.clip(idx, 0, scan_tab.shape[0] - 1)
-            if sub_tab is not None:
-                scan_g, sub_g = gather_rows(idx, scan_tab, sub_tab)
-                sub = jnp.where(hit, sub_g.astype(jnp.int32), 0)
-            else:
-                (scan_g,) = gather_rows(idx, scan_tab)
-                sub = jnp.zeros(t.shape, jnp.int32)
-            return _Best(
-                t=t,
-                scan=jnp.where(hit, scan_g.astype(jnp.int32), BIG_SCAN),
-                sub=sub,
-                cls=jnp.full(t.shape, cls, jnp.int32),
-                idx=idx,
-                tie=jnp.full(t.shape, tie, bool),
-            )
-
-        best_s = mk_best(t_s, idx_s, scene.spheres.scan, None,
-                         CLASS_SPHERE, False)
-        best_r = mk_best(t_r, idx_r, scene.rects.scan, scene.rects.sub,
-                         CLASS_RECT, True)
-        best_t = mk_best(t_t3, idx_t3, scene.triangles.scan, None,
-                         CLASS_TRI, True)
-        prim_best = _merge(_merge(best_s, best_r), best_t)
-        class_mats = []
-        prim_prefix_arg = prim_prefix   # covers ALL classes already
-    else:
-        sph_kernel = sphere_t_matrix if exact else sphere_t_matrix_mxu
-        ts = sph_kernel(scene.spheres, ro, rd, rtime, t_min, INF)
-        best_s = _class_best(ts, scene.spheres.scan, None, CLASS_SPHERE,
-                             tie_wins_later=False)
-        tr = rect_t_matrix(scene.rects, ro, rd, t_min, INF)
-        tt = TRIANGLE_KERNELS[triangle_algorithm](
-            scene.triangles, ro, rd, t_min, INF)
-        best_r = _class_best(tr, scene.rects.scan, scene.rects.sub,
-                             CLASS_RECT, tie_wins_later=True)
-        best_t = _class_best(tt, scene.triangles.scan, None, CLASS_TRI,
-                             tie_wins_later=True)
-        prim_best = _merge(_merge(best_s, best_r), best_t)
-        class_mats = [(ts, scene.spheres.scan), (tr, scene.rects.scan),
-                      (tt, scene.triangles.scan)]
-        prim_prefix_arg = None
 
     rng_state, best = media_events(
         scene.media, ro, rd, rng_state, prim_best, class_mats, t_min,

@@ -50,8 +50,9 @@ from ..ops.pallas import wave_bounce as WB
 from .integrator import camera_rays
 
 LANE = WB.LANE
-DEF_TILE_ROWS = 32      # v5e sweep winner (tools/prof_tiles.py): 32 rows
-                        # beats 64 by ~1.3x (VMEM working set per program)
+DEF_TILE_ROWS = 64      # v5e sweep winner for the 2-carry fold kernel
+                        # (tools/prof_r4_bench.py, r4): 64 beats 32 by
+                        # ~1.08x; with the old payload-carrying fold 32 won
 DEPOSIT_MODE = "2dsep"  # deposit scatter layout (tools/prof_r4_deposit.py):
                         # "2dsep" = six scatter-adds whose index/value
                         # operands keep their (rows, LANE) vector layout —
@@ -239,13 +240,15 @@ def _render_wq_jit(scene: T.Scene, cam: Camera, width: int, height: int,
 # Windowed driver: W bounces of dense-only glue per scatter/gather cycle
 # ---------------------------------------------------------------------------
 
-DEF_WINDOW = 16     # bounces per window (deposit amortization).  Grants
+DEF_WINDOW = 32     # bounces per window (deposit amortization).  Grants
                     # launch their camera ray in XLA (alive=1), so a chunk
                     # takes >= chunk kernel calls; with window <= 2*chunk a
                     # lane banks at most twice per window — exactly the two
-                    # bank slots: grants never block (when spp forces a
-                    # smaller chunk, a full-banked lane just idles until
-                    # the window-end flush, which only costs occupancy).
+                    # bank slots: grants never block.  window=32 > 2*chunk
+                    # lets a lane fill both slots mid-window and idle until
+                    # the flush; that costs ~1.3% occupancy on the bench
+                    # scene and wins ~9% wall-clock (r4 sweep: 54.8 vs
+                    # 50.8 Mray/s at tile_rows=64; deposit amortizes 2x).
 MAX_CHUNK = 10      # samples per grant; C | spp enforced by pick_chunk
 
 

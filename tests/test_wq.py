@@ -65,6 +65,33 @@ def test_wq_anchor_final_scene():
     _anchor(scene, cam, 24, 16, 4, 8, tol=5e-3, outlier_frac=0.03)
 
 
+def test_wq_windowed_drain_stage_compaction():
+    """A frame big enough for n_tiles=2 (48x32, tile_rows=8 -> 2048 lanes)
+    exercises the drain-stage schedule: one compact() to a 1-tile grid,
+    flush_acc at the stage boundary, and narrowed drain bounces.  The
+    windowed result must match the legacy one-bounce driver (which never
+    compacts) within the knife-edge envelope — a compact() regression
+    (dropped live lane, unflushed acc, bad permutation) shifts whole
+    pixels and fails loudly.  (Advisor r3 medium finding: previously no
+    test triggered stage_tiles != [].)"""
+    scene, cam = build_final_scene(1.5)
+    ref, segs1, _, ls1 = render_wq(scene, cam, 48, 32, 1, max_depth=6,
+                                   tile_rows=8, window=1,
+                                   return_stats=True)
+    img, segsw, _, lsw = render_wq(scene, cam, 48, 32, 1, max_depth=6,
+                                   tile_rows=8, window=2,
+                                   return_stats=True)
+    ref = np.asarray(ref)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    d = np.abs(img - ref).max(axis=-1)
+    frac_bad = float((d > 5e-3).mean())
+    assert frac_bad <= 0.03, (frac_bad, float(d.max()))
+    assert abs(float(segs1) - float(segsw)) <= 0.002 * float(segs1)
+    # the drain ran on a narrowed grid: windowed lane-steps < legacy's
+    assert float(lsw) < float(ls1)
+
+
 def test_wq_windowed_matches_legacy_on_segments():
     """Windowed and one-bounce drivers trace the SAME (pixel, sample)
     work, so traced-segment counts agree to within the knife-edge
