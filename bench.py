@@ -16,6 +16,12 @@ import time
 
 import jax
 
+# The windowed megakernel program compiles in ~minutes through the remote
+# TPU compile; a persistent compilation cache makes repeat bench runs
+# (and the driver's) start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 
 def main():
     from path_tracer_tpu.engine.wq import render_wq

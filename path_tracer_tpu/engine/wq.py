@@ -59,6 +59,9 @@ DEPOSIT_MODE = "2dsep"  # deposit scatter layout (tools/prof_r4_deposit.py):
                         # measured 19.6 -> 14.8 ms/full-width bounce on v5e
                         # vs the flat-concat form ("flat"; "2d" = one
                         # axis-1-concat scatter, no win)
+GATHER_MODE = "slots"   # texel service: "slots" (bounded per-bounce
+                        # budget: S primary slots/row + heavy-row spill,
+                        # kernel stalls uncovered lanes) | "dense"
 SCAN_UNROLL = 64        # window-scan unroll (min'd with window).  Fully
                         # unrolling the 16-bounce window measured 29.7 ->
                         # 44.4 Mray/s on v5e: the rolled scan forced a
@@ -348,7 +351,8 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
                              max_depth=max_depth, attenuate=attenuate,
                              tile_rows=tile_rows, interpret=interpret)
 
-    def refill(st: WB.WaveState, ex: WqwExtra, counter: jnp.ndarray):
+    def refill(st: WB.WaveState, ex: WqwExtra, counter: jnp.ndarray,
+               fx: WB.FixState):
         """Grant dead lanes the next chunk (pixel-major chunk id ->
         (pixel, sample range)) and launch its first camera ray in XLA —
         dense ops only, and the granted lane traces in its very next
@@ -360,7 +364,10 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         slot0_free = ex.bpix0 < 0.0
         slot1_free = ex.bpix1 < 0.0
         had_chunk = st.pix >= 0.0
-        dead = st.alive <= 0.0
+        # a dead lane with a pending EMIT fixup must keep its acc until the
+        # texel service covers it (the kernel adds the emission then)
+        pend_emit = fx.kind == f32(WB.FIX_EMIT)
+        dead = (st.alive <= 0.0) & jnp.logical_not(pend_emit)
         elig = dead & ((slot0_free | slot1_free) | jnp.logical_not(had_chunk))
         elig_i = elig.reshape(-1).astype(jnp.int32)
         rank = jnp.cumsum(elig_i) - elig_i              # exclusive prefix
@@ -425,48 +432,82 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         n_grant = jnp.minimum(jnp.sum(elig_i), navail)
         return st, ex, counter + n_grant
 
-    def apply_fix(st: WB.WaveState, out: WB.WaveOut) -> WB.WaveState:
-        """Per-bounce image-texture fixup (texture.hpp:139-150 scale
-        1/255): one atlas gather, then dense selects.  ALBEDO multiplies
-        the live path's throughput; EMIT adds the weighted emission to the
-        chunk accumulator (render.hpp:61-73) — acc still belongs to the
-        right pixel because the fixup runs before the next refill can bank
-        it.  Shape-polymorphic: used at full width and in the narrowed
-        drain stages."""
-        idx = jnp.clip(out.fix_idx.astype(jnp.int32), 0, n_atlas - 1)
-        if "gather" in _ablate:    # profiling only
-            texel = idx.astype(jnp.uint32) * 0
-        else:
-            # 2D-indexed gather: keeping the (rows, 128) index shape (no
-            # flat reshape) keeps the result in a vector layout — measured
-            # 4.3 ms/bounce cheaper than the flat 1D gather on v5e at
-            # 483k lanes (tools/prof_r3_real.py g2d vs full ablations).
-            texel = atlas_flat[idx]
-        txr = (texel & 0xFF).astype(f32) * inv255
-        txg = ((texel >> 8) & 0xFF).astype(f32) * inv255
-        txb = ((texel >> 16) & 0xFF).astype(f32) * inv255
-        is_alb = out.fix_kind == f32(WB.FIX_ALBEDO)
-        is_emit = out.fix_kind == f32(WB.FIX_EMIT)
-        st = st._replace(
-            tpx=jnp.where(is_alb, st.tpx * txr, st.tpx),
-            tpy=jnp.where(is_alb, st.tpy * txg, st.tpy),
-            tpz=jnp.where(is_alb, st.tpz * txb, st.tpz),
-        )
-        if "emitfix" in _ablate:   # profiling only
-            return st
-        return st._replace(
-            accx=jnp.where(is_emit, st.accx + out.fwx * txr, st.accx),
-            accy=jnp.where(is_emit, st.accy + out.fwy * txg, st.accy),
-            accz=jnp.where(is_emit, st.accz + out.fwz * txb, st.accz),
-        )
+    S_SLOTS = 2
 
-    def bounce(carry, _):
-        st, ex, counter = carry
+    def texel_service(fx: WB.FixState, k):
+        """Resolve atlas texels for pending image-texture fixups under a
+        BOUNDED per-bounce budget; returns (texel (rows,128) u32, srv 0/1).
+        The kernel applies covered fixups and stalls uncovered lanes
+        (wave_bounce._wave_kernel), so any coverage policy is correct —
+        this one is sized for the measured mix (~0.2% of lanes pending,
+        ~1 pending lane per needy row, tools/prof_r4_stage.py):
+
+        * S_SLOTS primary slots per row: the first S pending lanes of
+          every row (in a per-bounce-rotated lane order, so no lane
+          starves) — one (rows, S) element gather, ~0.1 ms at bench width
+          vs ~3.5-4.7 ms for the dense per-lane gather.
+        * spill: rows with more than S pending lanes get FULL-row service,
+          up to rows//8 rows per bounce (rotated): one (cap, 128)
+          row-gather + element gather.  Texture-heavy scenes (a camera on
+          an image texture) throttle to ~8 bounces per full sweep instead
+          of overflowing — graceful degradation, never wrong.
+
+        A dense lax.cond fallback was tried and rejected: the cond's mere
+        presence in the unrolled window scan cost 2x wall-clock (r4
+        measurements: 27.5 vs 93 Mray/s)."""
+        rws = fx.kind.shape[0]
+        idx = jnp.clip(fx.idx.astype(jnp.int32), 0, n_atlas - 1)
+        ones = jnp.ones((rws, LANE), f32)
+        if "gather" in _ablate:    # profiling only
+            return idx.astype(jnp.uint32) * 0, ones
+        if GATHER_MODE == "dense":
+            return atlas_flat[idx], ones
+        need = fx.kind != 0.0
+        need_i = need.astype(jnp.int32)
+        # lane rank among the row's pending lanes, rotated per bounce
+        bo = (k * jnp.int32(37)) % jnp.int32(LANE)
+        need_r = jnp.roll(need_i, -bo, axis=1)
+        lrank = jnp.roll(jnp.cumsum(need_r, axis=1) - need_r, bo, axis=1)
+        # primary slots: one small (rows, S) gather
+        sidx = jnp.stack(
+            [jnp.sum(jnp.where(need & (lrank == j), idx, 0), axis=1)
+             for j in range(S_SLOTS)], axis=1)
+        stex = atlas_flat[sidx]                       # (rows, S)
+        texel = jnp.zeros((rws, LANE), jnp.uint32)
+        for j in range(S_SLOTS):
+            texel = jnp.where(need & (lrank == j), stex[:, j:j + 1], texel)
+        srv = need & (lrank < S_SLOTS)
+        # spill: full-row service for heavy rows, rotated
+        cap = max(rws // 8, 1)
+        cnt = jnp.sum(need_i, axis=1)                 # (rows,)
+        heavy = cnt > S_SLOTS
+        rbo = (k * jnp.int32(997)) % jnp.int32(rws)
+        heavy_i = heavy.astype(jnp.int32)
+        heavy_r = jnp.roll(heavy_i, -rbo)
+        hrank = jnp.roll(jnp.cumsum(heavy_r) - heavy_r, rbo)
+        served_row = heavy & (hrank < cap)
+        slot = jnp.where(served_row, hrank, cap)
+        row_ids = jnp.full((cap + 1,), rws, jnp.int32).at[slot].set(
+            jnp.arange(rws, dtype=jnp.int32), mode="drop")[:cap]
+        cidx = idx[jnp.clip(row_ids, 0, rws - 1)]     # (cap, 128) rows
+        ctex = atlas_flat[cidx]
+        # expand with a row-GATHER by spill rank (a row scatter here
+        # crashes the TPU fusion emitter: SortedScatterEmitter requires
+        # sublane-gather inputs)
+        back = ctex[jnp.clip(hrank, 0, cap - 1)]      # (rows, 128)
+        srow = served_row[:, None] & need
+        texel = jnp.where(srow, back, texel)
+        return texel, (srv | srow).astype(f32)
+
+    def bounce(carry, k):
+        st, ex, counter, fx = carry
         if "refill" not in _ablate:
-            st, ex, counter = refill(st, ex, counter)
-        out = step(tables, st)
-        st = apply_fix(out.state, out)
-        return (st, ex, counter), None
+            st, ex, counter = refill(st, ex, counter, fx)
+        texel, srv = texel_service(fx, k)
+        out = step(tables, st, fix=fx, texel=texel, srv=srv)
+        fx = WB.FixState(kind=out.fix_kind, idx=out.fix_idx,
+                         fwx=out.fwx, fwy=out.fwy, fwz=out.fwz)
+        return (out.state, ex, counter, fx), None
 
     drop = 3 * n_pix_loc            # flat fb: [r-plane, g-plane, b-plane,
     npl = jnp.int32(n_pix_loc)      #          drop slot]
@@ -530,17 +571,26 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
                                 st.accz.reshape(-1)])
         return fb.at[idx].add(vals)
 
-    def compact(st: WB.WaveState, new_rows: int) -> WB.WaveState:
-        """Pack the live lanes of `st` into a (new_rows, 128) state —
-        caller guarantees live count <= new_rows*128 (the drain loops'
-        exit conditions).  Tracing state is gathered through the live-rank
-        permutation; acc must already be flushed (zeroed here) and wrk
-        already summed into the running total (zeroed here).  Pad lanes
-        get alive=0, pix=-1 and s=send=-1 so the kernel can neither trace
-        nor regenerate them (wave_bounce.py:396 regen gate)."""
+    def compact(st: WB.WaveState, fx: WB.FixState, new_rows: int):
+        """Pack the live lanes of `st` (and their pending fixups) into a
+        (new_rows, 128) state — caller guarantees live count <=
+        new_rows*128 (the drain loops' exit conditions).  Dead lanes with
+        a pending EMIT fixup count as live: their chunk accumulator still
+        owes the emission the texel service will deliver.  Tracing state
+        is gathered through the live-rank permutation; acc must already
+        be flushed (zeroed here) and wrk already summed into the running
+        total (zeroed here).  Pad lanes get alive=0, pix=-1 and s=send=-1
+        so the kernel can neither trace nor regenerate them
+        (wave_bounce regen gate); their fix state is empty.
+
+        NOTE (advisor r3): compact's correctness rests on a non-local
+        invariant — a lane can only be alive=0 with no pending in-chunk
+        samples because the kernel's regen fires in the same call a path
+        ends (unless a fixup is pending, in which case the lane is kept
+        here via the fix mask and regen is deferred by the stall gate)."""
         old = st.ox.shape[0] * LANE
         w = new_rows * LANE
-        live = (st.alive > 0.0).reshape(-1)
+        live = ((st.alive > 0.0) | (fx.kind != 0.0)).reshape(-1)
         live_i = live.astype(jnp.int32)
         rank = jnp.cumsum(live_i) - live_i            # exclusive prefix
         tgt = jnp.where(live & (rank < w), rank, w)   # w = OOB -> dropped
@@ -553,7 +603,10 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         g = lambda a: a.reshape(-1)[p2]
         z = jnp.zeros((new_rows, LANE), f32)
         neg1 = jnp.full((new_rows, LANE), -1.0, f32)
-        return WB.WaveState(
+        fx2 = WB.FixState(kind=jnp.where(valid, g(fx.kind), 0.0),
+                          idx=g(fx.idx), fwx=g(fx.fwx), fwy=g(fx.fwy),
+                          fwz=g(fx.fwz))
+        st2 = WB.WaveState(
             ox=g(st.ox), oy=g(st.oy), oz=g(st.oz),
             dx=g(st.dx), dy=g(st.dy), dz=g(st.dz), tm=g(st.tm),
             rng=g(st.rng),
@@ -567,6 +620,7 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
             send=jnp.where(valid, g(st.send), neg1),
             strd=jnp.where(valid, g(st.strd), 1.0),
         )
+        return st2, fx2
 
     # Drain-stage schedule: once the chunk queue is exhausted, surviving
     # paths (worst case `chunk`*max_depth bounces of one smoke chunk) used
@@ -583,17 +637,22 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
     caps = [t * quantum for t in stage_tiles]     # lane capacity per stage
     cap1 = jnp.int32(caps[0] if caps else 0)
 
+    def nlive(st, fx):
+        # pending-fixup lanes count: they still owe work/radiance
+        return jnp.sum(((st.alive > 0.0)
+                        | (fx.kind != 0.0)).astype(jnp.int32))
+
     def body(carry):
-        st, ex, counter, fb, wins, live = carry
-        (st, ex, counter), _ = jax.lax.scan(
-            bounce, (st, ex, counter), None, length=window,
+        st, ex, counter, fb, wins, live, fx = carry
+        (st, ex, counter, fx), _ = jax.lax.scan(
+            bounce, (st, ex, counter, fx),
+            jnp.arange(window, dtype=jnp.int32),
             unroll=min(SCAN_UNROLL, window))
         ex, fb = deposit(ex, fb)
-        live = jnp.sum((st.alive > 0.0).astype(jnp.int32))
-        return st, ex, counter, fb, wins + 1, live
+        return st, ex, counter, fb, wins + 1, nlive(st, fx), fx
 
     def cond(carry):
-        st, ex, counter, fb, wins, live = carry
+        st, ex, counter, fb, wins, live, fx = carry
         # run wide while chunks remain to grant, then only until the live
         # set fits the first drain stage (or is empty, without stages)
         return (counter < n_chunks) | (live > cap1)
@@ -602,36 +661,42 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
     st0 = st0._replace(s=jnp.full(sh, -1.0, f32),
                        pix=jnp.full(sh, -1.0, f32))
     ex0 = _zeros_extra(rows)
+    fx0 = WB.zero_fix(rows)
     fb0 = jnp.zeros((3 * n_pix_loc + 1,), f32)  # 3 planes + drop slot
-    st, ex, counter, fb, wins, live = jax.lax.while_loop(
+    st, ex, counter, fb, wins, live, fx = jax.lax.while_loop(
         cond, body, (st0, ex0, jnp.int32(0), fb0, jnp.int32(0),
-                     jnp.int32(0)))
+                     jnp.int32(0), fx0))
     iters = wins * jnp.int32(window)
     lane_steps = iters.astype(f32) * f32(rows * LANE)
     wrk_tot = f32(0)
 
-    def dbounce(st, _):
-        out = step(tables, st)
-        return apply_fix(out.state, out), None
+    def dbounce(carry, k):
+        st, fx = carry
+        texel, srv = texel_service(fx, k)
+        out = step(tables, st, fix=fx, texel=texel, srv=srv)
+        fx = WB.FixState(kind=out.fix_kind, idx=out.fix_idx,
+                         fwx=out.fwx, fwy=out.fwy, fwz=out.fwz)
+        return (out.state, fx), None
 
     for i, stiles in enumerate(stage_tiles):
         wrk_tot = wrk_tot + jnp.sum(st.wrk)
         fb = flush_acc(st, fb)
-        st = compact(st, stiles * tile_rows)
+        st, fx = compact(st, fx, stiles * tile_rows)
         next_cap = jnp.int32(caps[i + 1] if i + 1 < len(caps) else 0)
-        live0 = jnp.sum((st.alive > 0.0).astype(jnp.int32))
+        live0 = nlive(st, fx)
 
         def dbody(c):
-            st, w2, live = c
-            st, _ = jax.lax.scan(dbounce, st, None, length=window,
-                                 unroll=min(SCAN_UNROLL, window))
-            return st, w2 + 1, jnp.sum((st.alive > 0.0).astype(jnp.int32))
+            st, fx, w2, live = c
+            (st, fx), _ = jax.lax.scan(
+                dbounce, (st, fx), jnp.arange(window, dtype=jnp.int32),
+                unroll=min(SCAN_UNROLL, window))
+            return st, fx, w2 + 1, nlive(st, fx)
 
         def dcond(c, _cap=next_cap):
-            return c[2] > _cap
+            return c[3] > _cap
 
-        st, w2, live = jax.lax.while_loop(
-            dcond, dbody, (st, jnp.int32(0), live0))
+        st, fx, w2, live = jax.lax.while_loop(
+            dcond, dbody, (st, fx, jnp.int32(0), live0))
         iters = iters + w2 * jnp.int32(window)
         lane_steps = lane_steps + (w2 * jnp.int32(window)).astype(f32) \
             * f32(stiles * tile_rows * LANE)

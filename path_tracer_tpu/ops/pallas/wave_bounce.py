@@ -282,9 +282,15 @@ def _wave_kernel(# SMEM tables
                  radx, rady, radz, accx, accy, accz, alive, s, bnc, wrk,
                  pix, send, strd,
                  # deferred image-texture fixup from the PREVIOUS bounce:
-                 # fk_in/fw*_in are last call's fix outputs, texel is the
-                 # XLA-gathered atlas pixel (packed u32 R|G<<8|B<<16)
-                 fk_in, fwx_in, fwy_in, fwz_in, texel,
+                 # fk_in/fidx_in/fw*_in are last call's fix outputs, texel
+                 # the XLA-gathered atlas pixel (packed u32 R|G<<8|B<<16),
+                 # srv a 0/1 mask: the driver's texel service covered this
+                 # lane's pending fixup this call.  Pending-but-unserved
+                 # lanes STALL (state passes through, no draws, no
+                 # advance) and re-expose their fixup until served —
+                 # bounded texel service per bounce stays correct for
+                 # arbitrarily texture-heavy scenes without any lax.cond.
+                 fk_in, fidx_in, fwx_in, fwy_in, fwz_in, texel, srv,
                  # outs
                  o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tm, o_rng,
                  o_tpx, o_tpy, o_tpz, o_radx, o_rady, o_radz,
@@ -311,8 +317,11 @@ def _wave_kernel(# SMEM tables
     txb = ((tex_u >> 16) & jnp.uint32(0xFF)).astype(jnp.int32).astype(f32) \
         * scale
     fkv = fk_in[:, :]
-    is_alb_fix = fkv == f32(FIX_ALBEDO)
-    is_emit_fix = fkv == f32(FIX_EMIT)
+    pend = fkv != f32(FIX_NONE)
+    srvb = pend & (srv[:, :] > 0.0)
+    stall = pend & jnp.logical_not(srvb)
+    is_alb_fix = srvb & (fkv == f32(FIX_ALBEDO))
+    is_emit_fix = srvb & (fkv == f32(FIX_EMIT))
     tpxv = jnp.where(is_alb_fix, tpxv * txr, tpxv)
     tpyv = jnp.where(is_alb_fix, tpyv * txg, tpyv)
     tpzv = jnp.where(is_alb_fix, tpzv * txb, tpzv)
@@ -320,9 +329,10 @@ def _wave_kernel(# SMEM tables
     acc_y0 = accy[:, :] + jnp.where(is_emit_fix, fwy_in[:, :] * txg, 0.0)
     acc_z0 = accz[:, :] + jnp.where(is_emit_fix, fwz_in[:, :] * txb, 0.0)
 
-    # ---- one shared path segment -----------------------------------------
+    # ---- one shared path segment (stalled lanes do not advance) ----------
+    alive_adv = alive_b & jnp.logical_not(stall)
     adv = advance(sph, sph_segs, rect, rect_segs, tri, tri_segs, med, spec,
-                  oxv, oyv, ozv, dxv, dyv, dzv, tmv, rngv, alive_b,
+                  oxv, oyv, ozv, dxv, dyv, dzv, tmv, rngv, alive_adv,
                   n_med=n_med, t_min=t_min, sph_v=sph_v, ablate=ablate)
     rngv_cur = adv.rng
 
@@ -356,10 +366,10 @@ def _wave_kernel(# SMEM tables
     dy_n = jnp.where(cont, adv.ndy, dyv)
     dz_n = jnp.where(cont, adv.ndz, dzv)
 
-    bnc_n = jnp.where(alive_b, bnc[:, :] + 1.0, bnc[:, :])
+    bnc_n = jnp.where(alive_adv, bnc[:, :] + 1.0, bnc[:, :])
     exhausted = cont & (bnc_n >= f32(max_depth))
     alive_n = cont & jnp.logical_not(exhausted)
-    finished = alive_b & jnp.logical_not(alive_n)
+    finished = alive_adv & jnp.logical_not(alive_n)
 
     acx_n = acc_x0 + jnp.where(finished, rxv, 0.0)
     acy_n = acc_y0 + jnp.where(finished, ryv, 0.0)
@@ -372,11 +382,11 @@ def _wave_kernel(# SMEM tables
     fk = jnp.where(alive_n & adv.tk_image, f32(FIX_ALBEDO),
                    jnp.where(stop_emit & adv.tk_image, f32(FIX_EMIT),
                              f32(FIX_NONE)))
-    o_fix_kind[:, :] = fk
-    o_fix_idx[:, :] = adv.atlas_idx
-    o_fwx[:, :] = ew_x
-    o_fwy[:, :] = ew_y
-    o_fwz[:, :] = ew_z
+    o_fix_kind[:, :] = jnp.where(stall, fkv, fk)
+    o_fix_idx[:, :] = jnp.where(stall, fidx_in[:, :], adv.atlas_idx)
+    o_fwx[:, :] = jnp.where(stall, fwx_in[:, :], ew_x)
+    o_fwy[:, :] = jnp.where(stall, fwy_in[:, :], ew_y)
+    o_fwz[:, :] = jnp.where(stall, fwz_in[:, :], ew_z)
 
     # winner record for the VJP's record-and-replay residuals (diff.
     # pallas_vjp): win = ((term*4 + cls)*1024 + scan), exact in f32.
@@ -389,13 +399,14 @@ def _wave_kernel(# SMEM tables
                                          jnp.where(exhausted, f32(4.0),
                                                    f32(0.0)))))
     o_win[:, :] = jnp.where(
-        alive_b, (term * 4.0 + adv.wcls) * 1024.0 + adv.wscan, 0.0)
+        alive_adv, (term * 4.0 + adv.wcls) * 1024.0 + adv.wscan, 0.0)
     o_thit[:, :] = adv.t_hit
 
     # =================== regeneration (next sample of this pixel) ==========
     sv = s[:, :]
     s_next = sv + strd[:, :]
-    regen = (finished | jnp.logical_not(alive_b)) & (s_next < send[:, :])
+    regen = ((finished | jnp.logical_not(alive_b))
+             & (s_next < send[:, :]) & jnp.logical_not(stall))
     s_n = jnp.where(regen, s_next, sv)
     pixf = pix[:, :]
     (rng_n, cox, coy, coz, cdx, cdy, cdz, ctime) = camera_ray_block(
@@ -418,10 +429,11 @@ def _wave_kernel(# SMEM tables
     o_accx[:, :] = acx_n
     o_accy[:, :] = acy_n
     o_accz[:, :] = acz_n
-    o_alive[:, :] = jnp.where(alive_n | regen, 1.0, 0.0)
+    o_alive[:, :] = jnp.where(alive_n | regen | (stall & alive_b),
+                              1.0, 0.0)
     o_s[:, :] = s_n
     o_bnc[:, :] = jnp.where(regen, 0.0, bnc_n)
-    o_wrk[:, :] = wrk[:, :] + alive[:, :]
+    o_wrk[:, :] = wrk[:, :] + jnp.where(alive_adv, 1.0, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -458,33 +470,45 @@ class WaveOut(NamedTuple):
     t_hit: jnp.ndarray          # winner t (diff.pallas_vjp residual)
 
 
-def zero_fix(rows: int) -> Tuple[jnp.ndarray, ...]:
-    """(fix_kind, fwx, fwy, fwz, texel) inputs for the first bounce."""
+class FixState(NamedTuple):
+    """Pending image-texture fixups, (rows, 128) f32: last call's fix
+    outputs, carried by the driver until its texel service covers them."""
+    kind: jnp.ndarray      # FIX_NONE / FIX_ALBEDO / FIX_EMIT
+    idx: jnp.ndarray       # atlas pixel index (exact int in f32)
+    fwx: jnp.ndarray; fwy: jnp.ndarray; fwz: jnp.ndarray
+
+
+def zero_fix(rows: int) -> FixState:
+    """Empty pending-fix state (first bounce)."""
     z = jnp.zeros((rows, LANE), jnp.float32)
-    return (z, z, z, z, jnp.zeros((rows, LANE), jnp.uint32))
+    return FixState(kind=z, idx=z, fwx=z, fwy=z, fwz=z)
 
 
 def wave_bounce(tables: SceneTables, st: WaveState,
-                fix=None, texel: jnp.ndarray = None, *, t_min: float,
+                fix: FixState = None, texel: jnp.ndarray = None,
+                srv: jnp.ndarray = None, *, t_min: float,
                 max_depth: int, attenuate: bool,
                 tile_rows: int = DEF_TILE_ROWS,
                 interpret: bool = False,
                 ablate: frozenset = frozenset()) -> WaveOut:
     """One bounce for every lane.  Lane count = rows*128 with rows a
-    multiple of tile_rows.  `fix` is the previous call's WaveOut (or None
-    for the first bounce) and `texel` the atlas texels for its fix_idx,
-    packed u32 R|G<<8|B<<16 — the deferred image-texture fixup."""
+    multiple of tile_rows.  `fix` is the previous call's pending-fixup
+    state (None for the first bounce), `texel` the atlas texels the
+    driver's texel service resolved for it (packed u32 R|G<<8|B<<16), and
+    `srv` a 0/1 mask of which pending fixups that service covered — lanes
+    with an uncovered pending fixup stall this call (see _wave_kernel)."""
     rows = st.ox.shape[0]
     assert rows % tile_rows == 0, (rows, tile_rows)
     grid = rows // tile_rows
     n_med = tables.med.shape[1]
 
     if fix is None:
-        fk_in, fwx_in, fwy_in, fwz_in, texel = zero_fix(rows)
-    else:
-        fk_in, fwx_in, fwy_in, fwz_in = (fix.fix_kind, fix.fwx, fix.fwy,
-                                         fix.fwz)
-        assert texel is not None
+        fix = zero_fix(rows)
+        texel = jnp.zeros((rows, LANE), jnp.uint32)
+        srv = None
+    if srv is None:
+        srv = jnp.ones((rows, LANE), jnp.float32)
+    fk_in, fidx_in, fwx_in, fwy_in, fwz_in = fix
 
     # VMEM copy of the sphere table, padded to a lane multiple, for the
     # post-fold winner-attribute lane gathers (bounce_core.advance)
@@ -509,7 +533,7 @@ def wave_bounce(tables: SceneTables, st: WaveState,
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[smem] * 10 + [vfull] + [vspec] * 29,
+        in_specs=[smem] * 10 + [vfull] + [vspec] * 31,
         out_specs=[vspec] * 28,
         out_shape=out_shape,
         interpret=interpret,
@@ -520,7 +544,7 @@ def wave_bounce(tables: SceneTables, st: WaveState,
       st.tpx, st.tpy, st.tpz, st.radx, st.rady, st.radz,
       st.accx, st.accy, st.accz, st.alive, st.s, st.bnc, st.wrk,
       st.pix, st.send, st.strd,
-      fk_in, fwx_in, fwy_in, fwz_in, texel)
+      fk_in, fidx_in, fwx_in, fwy_in, fwz_in, texel, srv)
     new = WaveState(*outs[:21], pix=st.pix, send=st.send, strd=st.strd)
     return WaveOut(state=new, fix_kind=outs[21], fix_idx=outs[22],
                    fwx=outs[23], fwy=outs[24], fwz=outs[25],

@@ -52,7 +52,7 @@ def main() -> None:
     assert full.shape == (h, w, 3)
 
     ref = np.asarray(render_wavefront(scene, cam, w, h, spp,
-                                      max_depth=depth, use_pallas=False))
+                                      max_depth=depth))
     maxdiff = float(np.abs(full - ref).max())
 
     out = pathlib.Path(out_dir) / f"p{pid}.txt"

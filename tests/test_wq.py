@@ -22,8 +22,8 @@ from path_tracer_tpu.scene.presets import (CORNELL_BOX, THREE_SPHERES,
 
 def _anchor(scene, cam, w, h, spp, depth, tol=2e-4, outlier_frac=0.0,
             windows=(1, 3), **kw):
-    ref = np.asarray(render_wavefront(scene, cam, w, h, spp, max_depth=depth,
-                                      use_pallas=False, **kw))
+    ref = np.asarray(render_wavefront(scene, cam, w, h, spp,
+                                      max_depth=depth, **kw))
     for window in windows:
         img = np.asarray(render_wq(scene, cam, w, h, spp, max_depth=depth,
                                    tile_rows=8, window=window, **kw))
@@ -75,12 +75,12 @@ def test_wq_windowed_drain_stage_compaction():
     pixels and fails loudly.  (Advisor r3 medium finding: previously no
     test triggered stage_tiles != [].)"""
     scene, cam = build_final_scene(1.5)
-    ref, segs1, _, ls1 = render_wq(scene, cam, 48, 32, 1, max_depth=6,
-                                   tile_rows=8, window=1,
-                                   return_stats=True)
-    img, segsw, _, lsw = render_wq(scene, cam, 48, 32, 1, max_depth=6,
-                                   tile_rows=8, window=2,
-                                   return_stats=True)
+    ref, segs1, _, _ = render_wq(scene, cam, 48, 32, 1, max_depth=6,
+                                 tile_rows=8, window=1,
+                                 return_stats=True)
+    img, segsw, iters_w, lsw = render_wq(scene, cam, 48, 32, 1,
+                                         max_depth=6, tile_rows=8,
+                                         window=2, return_stats=True)
     ref = np.asarray(ref)
     img = np.asarray(img)
     assert np.isfinite(img).all()
@@ -88,8 +88,9 @@ def test_wq_windowed_drain_stage_compaction():
     frac_bad = float((d > 5e-3).mean())
     assert frac_bad <= 0.03, (frac_bad, float(d.max()))
     assert abs(float(segs1) - float(segsw)) <= 0.002 * float(segs1)
-    # the drain ran on a narrowed grid: windowed lane-steps < legacy's
-    assert float(lsw) < float(ls1)
+    # the drain ran on a NARROWED grid: dispatched lane-steps are fewer
+    # than iterations x full width (2048 lanes here)
+    assert float(lsw) < float(iters_w) * 2048.0
 
 
 def test_wq_windowed_matches_legacy_on_segments():
