@@ -149,12 +149,14 @@ def camera_rays(cam: Camera, width: int, height: int,
 # Parity-mode renderer (sequential samples, reference RNG streams)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 9))
 def _render_parity_jit(scene: T.Scene, cam: Camera, width: int, height: int,
                        spp: int, max_depth: int, attenuate_emission: bool,
-                       t_min: float) -> jnp.ndarray:
-    n = width * height
-    pix_ids = jnp.arange(n, dtype=jnp.uint32)
+                       t_min: float, pix_start: jnp.ndarray = 0,
+                       n_band: int = 0) -> jnp.ndarray:
+    n = n_band if n_band else width * height
+    pix_ids = (jnp.asarray(pix_start, jnp.uint32)
+               + jnp.arange(n, dtype=jnp.uint32))
     state0 = rng_mod.seed_parity(pix_ids)
 
     def sample_step(carry, _):
@@ -168,17 +170,32 @@ def _render_parity_jit(scene: T.Scene, cam: Camera, width: int, height: int,
         sample_step, (state0, Vec3.zeros((n,))), None, length=spp)
     mean = acc / jnp.float32(spp)
     img = jnp.stack([mean.x, mean.y, mean.z], axis=-1)
-    return img.reshape(height, width, 3)
+    return img.reshape(-1, width, 3)
 
 
 def render_parity(scene: T.Scene, cam: Camera, width: int, height: int,
                   spp: int, max_depth: int = 50,
                   attenuate_emission: bool = False,
-                  t_min: float = 1e-3) -> jnp.ndarray:
+                  t_min: float = 1e-3, band_rows: int = 0) -> jnp.ndarray:
     """Render with the reference's exact RNG streams (fb row 0 = image
-    bottom, like the reference's y-up framebuffer)."""
-    return _render_parity_jit(scene, cam, width, height, spp, max_depth,
-                              attenuate_emission, t_min)
+    bottom, like the reference's y-up framebuffer).
+
+    `band_rows` > 0 renders in horizontal bands of that many pixel rows
+    (a host loop reusing one jit): the parity engine's jnp fold keeps
+    (lanes, primitives) intermediates live, ~1.5 GB per 100K lanes on the
+    final scene — a full 800x480 frame in one batch OOM-crashes a v5e
+    worker.  Streams are per-pixel, so banding is bit-exact."""
+    if band_rows <= 0:
+        return _render_parity_jit(scene, cam, width, height, spp,
+                                  max_depth, attenuate_emission, t_min)
+    import numpy as np
+    bands = []
+    for r0 in range(0, height, band_rows):
+        nb = min(band_rows, height - r0) * width
+        bands.append(np.asarray(_render_parity_jit(
+            scene, cam, width, height, spp, max_depth,
+            attenuate_emission, t_min, jnp.uint32(r0 * width), nb)))
+    return jnp.asarray(np.concatenate(bands, axis=0))
 
 
 # ---------------------------------------------------------------------------

@@ -69,7 +69,7 @@ def test_cli_render_writes_png(tmp_path):
 
 def test_checkpoint_resume_bitexact_jnp(tmp_path):
     scene, cam = THREE_SPHERES.build()
-    w, h, spp, depth = 64, 32, 6, 4
+    w, h, spp, depth = 32, 16, 6, 4
     ref = np.asarray(render_perf(scene, cam, w, h, spp, max_depth=depth))
     d = str(tmp_path / "ckpt")
 
@@ -94,7 +94,7 @@ def test_checkpoint_resume_bitexact_wq(tmp_path):
     and match the plain megakernel render up to range-sum reassociation."""
     from path_tracer_tpu.engine.wq import render_wq
     scene, cam = THREE_SPHERES.build()
-    w, h, spp, depth = 64, 32, 6, 4
+    w, h, spp, depth = 32, 16, 6, 4
     d = str(tmp_path / "ckpt")
 
     render_checkpointed(scene, cam, w, h, 4, depth, ckpt_dir=d,

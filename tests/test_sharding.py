@@ -23,7 +23,7 @@ def test_devices_available():
 
 def test_sharded_render_matches_single_device(scene_cam):
     scene, cam = scene_cam
-    w, h, spp, depth = 32, 16, 4, 5
+    w, h, spp, depth = 32, 8, 2, 4
     mesh = make_mesh(n_tiles=4, n_spp=1)
     img_sharded = np.asarray(render_sharded(scene, cam, w, h, spp, mesh,
                                             max_depth=depth))
@@ -37,7 +37,7 @@ def test_spp_axis_psum(scene_cam):
     """Splitting samples across the spp axis must agree with the same total
     sample set on one device (identical counter-seeded streams)."""
     scene, cam = scene_cam
-    w, h, spp, depth = 16, 8, 8, 5
+    w, h, spp, depth = 16, 8, 4, 4
     mesh22 = make_mesh(n_tiles=2, n_spp=2)
     img22 = np.asarray(render_sharded(scene, cam, w, h, spp, mesh22,
                                       max_depth=depth))

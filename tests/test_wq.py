@@ -13,6 +13,7 @@ Reference semantics being cross-checked: the render.hpp:25-106 integrator
 (sample loop, bounce loop, sky, emission quirk) and the deposit accounting
 of render.hpp:102-105."""
 import numpy as np
+import pytest
 
 from path_tracer_tpu.engine.integrator import render_wavefront
 from path_tracer_tpu.engine.wq import pick_chunk, render_wq
@@ -26,7 +27,7 @@ def _anchor(scene, cam, w, h, spp, depth, tol=2e-4, outlier_frac=0.0,
                                       max_depth=depth, **kw))
     for window in windows:
         img = np.asarray(render_wq(scene, cam, w, h, spp, max_depth=depth,
-                                   tile_rows=8, window=window, **kw))
+                                   tile_rows=4, window=window, **kw))
         assert np.isfinite(img).all()
         d = np.abs(img - ref).max(axis=-1)
         frac_bad = float((d > tol).mean())
@@ -102,6 +103,16 @@ def test_wq_windowed_matches_legacy_on_segments():
     codegen differs by an ulp depending on batch layout, demonstrated by
     the jnp renderer itself disagreeing with its own per-sample traces on
     such paths.  A flipped path changes its own length only.)"""
+    scene, cam = build_final_scene(1.5)
+    _, segs1, _, _ = render_wq(scene, cam, 16, 16, 2, max_depth=6,
+                               tile_rows=4, window=1, return_stats=True)
+    _, segsw, _, _ = render_wq(scene, cam, 16, 16, 2, max_depth=6,
+                               tile_rows=4, window=4, return_stats=True)
+    assert abs(float(segs1) - float(segsw)) <= 0.002 * float(segs1)
+
+
+@pytest.mark.slow
+def test_wq_windowed_matches_legacy_on_segments_full():
     scene, cam = build_final_scene(1.5)
     _, segs1, _, _ = render_wq(scene, cam, 24, 16, 4, max_depth=8,
                                tile_rows=8, window=1, return_stats=True)

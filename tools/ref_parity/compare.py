@@ -74,7 +74,10 @@ def main():
     from path_tracer_tpu.scene.presets import build_final_scene
 
     scene, cam = build_final_scene(w / h)
-    img = np.asarray(render_parity(scene, cam, w, h, args.spp, max_depth=50))
+    # band the parity render (full-frame jnp folds OOM a v5e at 800x480)
+    band = 32 if w * h > 64 * 64 else 0
+    img = np.asarray(render_parity(scene, cam, w, h, args.spp, max_depth=50,
+                                   band_rows=band))
     report = {"config": {"width": w, "height": h, "spp": args.spp,
                          "ref_spp": 100, "depth": 50}}
     report.update(metrics(img, ref))
