@@ -33,24 +33,28 @@ import jax.numpy as jnp
 
 
 def collect_collectives(hlo_text):
-    """(op_kind, shape, bytes) for every collective in scheduled HLO."""
+    """(op_kind, shapes, bytes) for every collective in scheduled HLO.
+    Handles tuple-shaped ops (gradient all-reduces bundle many tensors)."""
     out = []
-    pat = re.compile(
-        r"=\s+((?:\w|-)*?(f32|u32|s32|pred|bf16)\[[0-9,]*\][^ ]*)\s+"
-        r"(all-reduce(?:-start)?|all-gather(?:-start)?|"
+    kind_pat = re.compile(
+        r"=\s+(.*?)\s+(all-reduce(?:-start)?|all-gather(?:-start)?|"
         r"reduce-scatter|collective-permute(?:-start)?)\(")
-    dt_bytes = {"f32": 4, "u32": 4, "s32": 4, "pred": 1, "bf16": 2}
+    shape_pat = re.compile(r"(f32|f64|u32|s32|u8|pred|bf16)\[([0-9,]*)\]")
+    dt_bytes = {"f32": 4, "f64": 8, "u32": 4, "s32": 4, "u8": 1,
+                "pred": 1, "bf16": 2}
     for line in hlo_text.splitlines():
-        m = pat.search(line)
-        if m:
-            shape_s, dt, kind = m.group(1), m.group(2), m.group(3)
-            dims = re.match(r"[a-z0-9]+\[([0-9,]*)\]", shape_s)
-            n = 1
-            if dims and dims.group(1):
-                for d in dims.group(1).split(","):
-                    n *= int(d)
-            out.append({"op": kind, "shape": shape_s.split("{")[0],
-                        "bytes": n * dt_bytes.get(dt, 4)})
+        m = kind_pat.search(line)
+        if m and "-done" not in line.split("=")[1][:40]:
+            shapes_s, kind = m.group(1), m.group(2)
+            total = 0
+            for dt, dims in shape_pat.findall(shapes_s):
+                n = 1
+                if dims:
+                    for d in dims.split(","):
+                        n *= int(d)
+                total += n * dt_bytes[dt]
+            out.append({"op": kind, "shape": shapes_s[:120],
+                        "bytes": total})
     return out
 
 
@@ -176,6 +180,10 @@ def main():
         inv = {}
         for spp, depth in ((8, 8), (16, 16)):
             fwd_hlo, train_hlo = tpu_aot_inventory(spp, depth)
+            with open(f"/tmp/aot_fwd_{spp}_{depth}.hlo", "w") as fh:
+                fh.write(fwd_hlo)
+            with open(f"/tmp/aot_train_{spp}_{depth}.hlo", "w") as fh:
+                fh.write(train_hlo)
             inv[f"spp{spp}_depth{depth}"] = {
                 "forward": collect_collectives(fwd_hlo),
                 "train": collect_collectives(train_hlo),
