@@ -59,6 +59,8 @@ DEPOSIT_MODE = "2dsep"  # deposit scatter layout (tools/prof_r4_deposit.py):
                         # measured 19.6 -> 14.8 ms/full-width bounce on v5e
                         # vs the flat-concat form ("flat"; "2d" = one
                         # axis-1-concat scatter, no win)
+S_SLOTS_OVERRIDE = None  # perf experiment knob: primary slots per row
+                        # (default 4: r4 sweep, 81.7 vs 80.2 at S=2)
 GATHER_MODE = "slots"   # texel service: "slots" (bounded per-bounce
                         # budget: S primary slots/row + heavy-row spill,
                         # kernel stalls uncovered lanes) | "dense"
@@ -236,7 +238,9 @@ def _render_wq_jit(scene: T.Scene, cam: Camera, width: int, height: int,
 
     img = (fb / f32(spp)).reshape(height, width, 3)
     segs = jnp.sum(st.wrk)
-    return img, segs, iters
+    # lane count returned so callers never re-derive the sizing formula
+    # (advisor r3: a silent formula divergence would skew occupancy)
+    return img, segs, iters, jnp.float32(lanes)
 
 
 # ---------------------------------------------------------------------------
@@ -432,7 +436,7 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         n_grant = jnp.minimum(jnp.sum(elig_i), navail)
         return st, ex, counter + n_grant
 
-    S_SLOTS = 2
+    S_SLOTS = S_SLOTS_OVERRIDE or 4
 
     def texel_service(fx: WB.FixState, k):
         """Resolve atlas texels for pending image-texture fixups under a
@@ -792,13 +796,11 @@ def render_wq(scene: T.Scene, cam: Camera, width: int, height: int,
     if window is None:
         window = DEF_WINDOW if not interpret else 3
     if window <= 1:
-        img, segs, iters = _render_wq_jit(
+        img, segs, iters, lanes_f = _render_wq_jit(
             scene, cam, width, height, spp, max_depth,
             bool(attenuate_emission), float(t_min), int(tile_rows),
             bool(interpret), jnp.uint32(seed))
-        n_pix = width * height
-        lanes = _round_up(min(n_pix, n_pix * spp), tile_rows * LANE)
-        lane_steps = iters.astype(jnp.float32) * jnp.float32(lanes)
+        lane_steps = iters.astype(jnp.float32) * lanes_f
     else:
         img, segs, iters, lane_steps = _render_wqw_jit(
             scene, cam, width, height, spp, max_depth,

@@ -110,3 +110,18 @@ def test_attenuate_emission_mode():
     phys = np.asarray(render_parity(scene, cam, 16, 8, 8, 6,
                                     attenuate_emission=True))
     assert ref.mean() > phys.mean()  # attenuation can only dim emission
+
+
+def test_parity_banding_bitexact():
+    """render_parity(band_rows=k) must equal the full-frame parity render
+    bit-for-bit: streams are per-pixel, banding only changes batching.
+    (The banded path exists because a full 800x480 frame OOMs a v5e
+    worker — engine/integrator.py render_parity docstring.)"""
+    import numpy as np
+    from path_tracer_tpu.engine.integrator import render_parity
+    from path_tracer_tpu.scene.presets import THREE_SPHERES
+    scene, cam = THREE_SPHERES.build()
+    full = np.asarray(render_parity(scene, cam, 24, 12, 2, max_depth=4))
+    banded = np.asarray(render_parity(scene, cam, 24, 12, 2, max_depth=4,
+                                      band_rows=5))
+    np.testing.assert_array_equal(full, banded)

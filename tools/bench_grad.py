@@ -20,7 +20,7 @@ from path_tracer_tpu.scene.presets import build_final_scene
 
 W, H = 400, 300
 SPP = 4
-DEPTH = 16
+DEPTH = 50
 
 
 def main():
