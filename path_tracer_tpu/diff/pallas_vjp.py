@@ -65,7 +65,7 @@ def _round_up(n: int, m: int) -> int:
 class Residuals(NamedTuple):
     """Per-bounce records, all (depth, rows, 128) f32 except texel (u32)."""
     dx: jnp.ndarray; dy: jnp.ndarray; dz: jnp.ndarray
-    win: jnp.ndarray          # ((term*4+cls)*1024 + scan); 0 = lane dead
+    win: jnp.ndarray          # ((term*4+cls)*1024 + scan) + 1; 0 = dead
     t: jnp.ndarray            # winner t
     texel: jnp.ndarray        # packed R|G<<8|B<<16 (valid iff fix fired)
 
@@ -203,8 +203,9 @@ def replay_radiance(scene: T.Scene, cam: Camera, res: Residuals,
                   SG(res.dz[(k + 1) % max_depth].reshape(-1)))
         texel = SG(res.texel[k].reshape(-1))
 
-        term = jnp.floor(win * f32(1.0 / 4096.0))
-        rem = win - term * 4096.0
+        enc = jnp.maximum(win - 1.0, 0.0)    # win = encoded + 1; 0 = dead
+        term = jnp.floor(enc * f32(1.0 / 4096.0))
+        rem = enc - term * 4096.0
         cls = jnp.floor(rem * f32(1.0 / 1024.0))
         scan = (rem - cls * 1024.0).astype(jnp.int32)
         hit = alive & (term != 1.0)          # term 1 = sky miss
@@ -534,13 +535,50 @@ def make_render_grad(width: int, height: int, pix: jnp.ndarray,
                      samp: jnp.ndarray, *, max_depth: int = 8,
                      attenuate: bool = True, t_min: float = 1e-3,
                      seed: int = 0, tile_rows: int = None,
-                     interpret: bool = None):
-    """Build `f(scene, cam) -> (L, 3)` closed over fixed (L,) sample ids —
-    thin wrapper over `render_grad_fn` (kept for single-device use and the
-    FD-anchored tests)."""
+                     interpret: bool = None, queued: bool = True,
+                     **queued_kw):
+    """Build `f(scene, cam) -> (npx, 3)` per-pixel MEAN radiance over the
+    (pix, samp) sample grid — the production gradient entry point.
+
+    `pix`/`samp` must form the canonical grid (pix = tile(pix0, spp) with
+    contiguous pix0, samp = repeat(samp0 + arange(spp), npx)); the fast
+    queue-driven route (diff.queued_vjp) requires that structure.  Pass
+    queued=False for the r4 pixel-pinned route (exact same estimator,
+    ~100x slower backward — kept as a cross-check oracle)."""
+    import numpy as np
+    pix_np = np.asarray(pix).astype(np.int64)
+    samp_np = np.asarray(samp).astype(np.int64)
+    L = pix_np.shape[0]
+    u = np.unique(samp_np)
+    spp = len(u)
+    npx = L // spp
+    grid_ok = (
+        npx * spp == L
+        and np.array_equal(u, u[0] + np.arange(spp))
+        and np.array_equal(samp_np, np.repeat(u, npx))
+        and np.array_equal(pix_np,
+                           np.tile(pix_np[0] + np.arange(npx), spp)))
+    if not grid_ok:
+        raise ValueError(
+            "make_render_grad needs the canonical (pix, samp) grid "
+            "(tile(contiguous_pix, spp) / repeat(consecutive_samp, npx)); "
+            "use render_grad_fn for arbitrary sample lists")
+    if queued:
+        from .queued_vjp import render_grad_fb
+        fq = render_grad_fb(width, height, npx, spp, max_depth=max_depth,
+                            attenuate=attenuate, t_min=t_min, seed=seed,
+                            tile_rows=tile_rows, interpret=interpret,
+                            **queued_kw)
+        pb = jnp.float32(int(pix_np[0]))
+        sb = jnp.float32(int(u[0]))
+        return lambda scene, cam: fq(scene, cam, pb, sb)
     g = render_grad_fn(width, height, max_depth=max_depth,
                        attenuate=attenuate, t_min=t_min, seed=seed,
                        tile_rows=tile_rows, interpret=interpret)
     pix_f = jnp.asarray(pix, jnp.float32)
     samp_f = jnp.asarray(samp, jnp.float32)
-    return lambda scene, cam: g(scene, cam, pix_f, samp_f)
+
+    def f(scene, cam):
+        rad = g(scene, cam, pix_f, samp_f)           # (L, 3) per-sample
+        return jnp.mean(rad.reshape(spp, npx, 3), axis=0)
+    return f

@@ -102,6 +102,77 @@ def _gather_texels(atlas_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return atlas_flat[idx]
 
 
+def texel_service(fx: WB.FixState, k, atlas_flat: jnp.ndarray,
+                  n_atlas: int, *, s_slots: Optional[int] = None,
+                  _ablate: frozenset = frozenset()):
+    """Resolve atlas texels for pending image-texture fixups under a
+    BOUNDED per-bounce budget; returns (texel (rows,128) u32, srv 0/1).
+    The kernel applies covered fixups and stalls uncovered lanes
+    (wave_bounce._wave_kernel), so any coverage policy is correct —
+    this one is sized for the measured mix (~0.2% of lanes pending,
+    ~1 pending lane per needy row, tools/prof_r4_stage.py):
+
+    * S_SLOTS primary slots per row: the first S pending lanes of
+      every row (in a per-bounce-rotated lane order, so no lane
+      starves) — one (rows, S) element gather, ~0.1 ms at bench width
+      vs ~3.5-4.7 ms for the dense per-lane gather.
+    * spill: rows with more than S pending lanes get FULL-row service,
+      up to rows//8 rows per bounce (rotated): one (cap, 128)
+      row-gather + element gather.  Texture-heavy scenes (a camera on
+      an image texture) throttle to ~8 bounces per full sweep instead
+      of overflowing — graceful degradation, never wrong.
+
+    A dense lax.cond fallback was tried and rejected: the cond's mere
+    presence in the unrolled window scan cost 2x wall-clock (r4
+    measurements: 27.5 vs 93 Mray/s).  Shared by the production windowed
+    driver below and the gradient recorder (diff.queued_vjp)."""
+    f32 = jnp.float32
+    S_SLOTS = s_slots if s_slots is not None else (S_SLOTS_OVERRIDE or 4)
+    rws = fx.kind.shape[0]
+    idx = jnp.clip(fx.idx.astype(jnp.int32), 0, n_atlas - 1)
+    ones = jnp.ones((rws, LANE), f32)
+    if "gather" in _ablate:    # profiling only
+        return idx.astype(jnp.uint32) * 0, ones
+    if GATHER_MODE == "dense":
+        return atlas_flat[idx], ones
+    need = fx.kind != 0.0
+    need_i = need.astype(jnp.int32)
+    # lane rank among the row's pending lanes, rotated per bounce
+    bo = (k * jnp.int32(37)) % jnp.int32(LANE)
+    need_r = jnp.roll(need_i, -bo, axis=1)
+    lrank = jnp.roll(jnp.cumsum(need_r, axis=1) - need_r, bo, axis=1)
+    # primary slots: one small (rows, S) gather
+    sidx = jnp.stack(
+        [jnp.sum(jnp.where(need & (lrank == j), idx, 0), axis=1)
+         for j in range(S_SLOTS)], axis=1)
+    stex = atlas_flat[sidx]                       # (rows, S)
+    texel = jnp.zeros((rws, LANE), jnp.uint32)
+    for j in range(S_SLOTS):
+        texel = jnp.where(need & (lrank == j), stex[:, j:j + 1], texel)
+    srv = need & (lrank < S_SLOTS)
+    # spill: full-row service for heavy rows, rotated
+    cap = max(rws // 8, 1)
+    cnt = jnp.sum(need_i, axis=1)                 # (rows,)
+    heavy = cnt > S_SLOTS
+    rbo = (k * jnp.int32(997)) % jnp.int32(rws)
+    heavy_i = heavy.astype(jnp.int32)
+    heavy_r = jnp.roll(heavy_i, -rbo)
+    hrank = jnp.roll(jnp.cumsum(heavy_r) - heavy_r, rbo)
+    served_row = heavy & (hrank < cap)
+    slot = jnp.where(served_row, hrank, cap)
+    row_ids = jnp.full((cap + 1,), rws, jnp.int32).at[slot].set(
+        jnp.arange(rws, dtype=jnp.int32), mode="drop")[:cap]
+    cidx = idx[jnp.clip(row_ids, 0, rws - 1)]     # (cap, 128) rows
+    ctex = atlas_flat[cidx]
+    # expand with a row-GATHER by spill rank (a row scatter here
+    # crashes the TPU fusion emitter: SortedScatterEmitter requires
+    # sublane-gather inputs)
+    back = ctex[jnp.clip(hrank, 0, cap - 1)]      # (rows, 128)
+    srow = served_row[:, None] & need
+    texel = jnp.where(srow, back, texel)
+    return texel, (srv | srow).astype(f32)
+
+
 def _zeros_state(rows: int) -> WB.WaveState:
     f32 = jnp.float32
     sh = (rows, LANE)
@@ -436,78 +507,12 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
         n_grant = jnp.minimum(jnp.sum(elig_i), navail)
         return st, ex, counter + n_grant
 
-    S_SLOTS = S_SLOTS_OVERRIDE or 4
-
-    def texel_service(fx: WB.FixState, k):
-        """Resolve atlas texels for pending image-texture fixups under a
-        BOUNDED per-bounce budget; returns (texel (rows,128) u32, srv 0/1).
-        The kernel applies covered fixups and stalls uncovered lanes
-        (wave_bounce._wave_kernel), so any coverage policy is correct —
-        this one is sized for the measured mix (~0.2% of lanes pending,
-        ~1 pending lane per needy row, tools/prof_r4_stage.py):
-
-        * S_SLOTS primary slots per row: the first S pending lanes of
-          every row (in a per-bounce-rotated lane order, so no lane
-          starves) — one (rows, S) element gather, ~0.1 ms at bench width
-          vs ~3.5-4.7 ms for the dense per-lane gather.
-        * spill: rows with more than S pending lanes get FULL-row service,
-          up to rows//8 rows per bounce (rotated): one (cap, 128)
-          row-gather + element gather.  Texture-heavy scenes (a camera on
-          an image texture) throttle to ~8 bounces per full sweep instead
-          of overflowing — graceful degradation, never wrong.
-
-        A dense lax.cond fallback was tried and rejected: the cond's mere
-        presence in the unrolled window scan cost 2x wall-clock (r4
-        measurements: 27.5 vs 93 Mray/s)."""
-        rws = fx.kind.shape[0]
-        idx = jnp.clip(fx.idx.astype(jnp.int32), 0, n_atlas - 1)
-        ones = jnp.ones((rws, LANE), f32)
-        if "gather" in _ablate:    # profiling only
-            return idx.astype(jnp.uint32) * 0, ones
-        if GATHER_MODE == "dense":
-            return atlas_flat[idx], ones
-        need = fx.kind != 0.0
-        need_i = need.astype(jnp.int32)
-        # lane rank among the row's pending lanes, rotated per bounce
-        bo = (k * jnp.int32(37)) % jnp.int32(LANE)
-        need_r = jnp.roll(need_i, -bo, axis=1)
-        lrank = jnp.roll(jnp.cumsum(need_r, axis=1) - need_r, bo, axis=1)
-        # primary slots: one small (rows, S) gather
-        sidx = jnp.stack(
-            [jnp.sum(jnp.where(need & (lrank == j), idx, 0), axis=1)
-             for j in range(S_SLOTS)], axis=1)
-        stex = atlas_flat[sidx]                       # (rows, S)
-        texel = jnp.zeros((rws, LANE), jnp.uint32)
-        for j in range(S_SLOTS):
-            texel = jnp.where(need & (lrank == j), stex[:, j:j + 1], texel)
-        srv = need & (lrank < S_SLOTS)
-        # spill: full-row service for heavy rows, rotated
-        cap = max(rws // 8, 1)
-        cnt = jnp.sum(need_i, axis=1)                 # (rows,)
-        heavy = cnt > S_SLOTS
-        rbo = (k * jnp.int32(997)) % jnp.int32(rws)
-        heavy_i = heavy.astype(jnp.int32)
-        heavy_r = jnp.roll(heavy_i, -rbo)
-        hrank = jnp.roll(jnp.cumsum(heavy_r) - heavy_r, rbo)
-        served_row = heavy & (hrank < cap)
-        slot = jnp.where(served_row, hrank, cap)
-        row_ids = jnp.full((cap + 1,), rws, jnp.int32).at[slot].set(
-            jnp.arange(rws, dtype=jnp.int32), mode="drop")[:cap]
-        cidx = idx[jnp.clip(row_ids, 0, rws - 1)]     # (cap, 128) rows
-        ctex = atlas_flat[cidx]
-        # expand with a row-GATHER by spill rank (a row scatter here
-        # crashes the TPU fusion emitter: SortedScatterEmitter requires
-        # sublane-gather inputs)
-        back = ctex[jnp.clip(hrank, 0, cap - 1)]      # (rows, 128)
-        srow = served_row[:, None] & need
-        texel = jnp.where(srow, back, texel)
-        return texel, (srv | srow).astype(f32)
-
     def bounce(carry, k):
         st, ex, counter, fx = carry
         if "refill" not in _ablate:
             st, ex, counter = refill(st, ex, counter, fx)
-        texel, srv = texel_service(fx, k)
+        texel, srv = texel_service(fx, k, atlas_flat, n_atlas,
+                                   _ablate=_ablate)
         out = step(tables, st, fix=fx, texel=texel, srv=srv)
         fx = WB.FixState(kind=out.fix_kind, idx=out.fix_idx,
                          fwx=out.fwx, fwy=out.fwy, fwz=out.fwz)
@@ -676,7 +681,8 @@ def wq_window_fb(scene: T.Scene, cam: Camera, width: int, height: int,
 
     def dbounce(carry, k):
         st, fx = carry
-        texel, srv = texel_service(fx, k)
+        texel, srv = texel_service(fx, k, atlas_flat, n_atlas,
+                                   _ablate=_ablate)
         out = step(tables, st, fix=fx, texel=texel, srv=srv)
         fx = WB.FixState(kind=out.fix_kind, idx=out.fix_idx,
                          fwx=out.fwx, fwy=out.fwy, fwz=out.fwz)

@@ -389,7 +389,10 @@ def _wave_kernel(# SMEM tables
     o_fwz[:, :] = jnp.where(stall, fwz_in[:, :], ew_z)
 
     # winner record for the VJP's record-and-replay residuals (diff.
-    # pallas_vjp): win = ((term*4 + cls)*1024 + scan), exact in f32.
+    # pallas_vjp / diff.queued_vjp): win = ((term*4 + cls)*1024 + scan) + 1,
+    # exact in f32; 0 = the lane did NOT advance (dead or stalled).  The +1
+    # keeps "continue, sphere class, scan id 0" (a real segment on the
+    # reference scene's ground sphere) distinguishable from a dead lane.
     # term: 0 continue, 1 sky miss, 2 emission stop, 3 absorb
     # (scatter-fail on a non-light), 4 depth-exhausted.
     term = jnp.where(miss, f32(1.0),
@@ -399,7 +402,7 @@ def _wave_kernel(# SMEM tables
                                          jnp.where(exhausted, f32(4.0),
                                                    f32(0.0)))))
     o_win[:, :] = jnp.where(
-        alive_adv, (term * 4.0 + adv.wcls) * 1024.0 + adv.wscan, 0.0)
+        alive_adv, (term * 4.0 + adv.wcls) * 1024.0 + adv.wscan + 1.0, 0.0)
     o_thit[:, :] = adv.t_hit
 
     # =================== regeneration (next sample of this pixel) ==========

@@ -83,7 +83,10 @@ def render_sharded(scene: T.Scene, cam: Camera, width: int, height: int,
             tile_rows = DEF_TILE_ROWS if not interpret else 8
         if window is None:
             window = DEF_WINDOW if not interpret else 3
-        C = pick_chunk(spp)
+        # cap the chunk so the spp axis carries >= 1 chunk per shard
+        # (C = spp would fold everything into cpp=1 and idle every spp
+        # shard past the first)
+        C = pick_chunk(spp, cap=min(10, max(1, spp // n_spp)))
         cpp = spp // C
         cpp_loc = _ceil_div(cpp, n_spp)
         spp_loc = cpp_loc * C
@@ -164,7 +167,8 @@ def make_train_step(static_scene, static_cam_tree, width: int, height: int,
                     lr: float = 0.05, t_min: float = 1e-3,
                     grad_filter=None, backend: str = "pallas",
                     tile_rows: Optional[int] = None,
-                    interpret: Optional[bool] = None):
+                    interpret: Optional[bool] = None,
+                    geometry_edge=None, edge_kwargs: Optional[dict] = None):
     """Build a jitted distributed SGD step for inverse rendering.
 
     params: float-partitioned (scene, camera) pytree (see diff.params).
@@ -173,18 +177,34 @@ def make_train_step(static_scene, static_cam_tree, width: int, height: int,
     all-reduce across the slice.  Returns step(params, target, pix_ids) ->
     (params', loss).
 
-    backend="pallas" (default): forward = the pallas megakernel recording
-    residuals, backward = the winner-only replay (diff.pallas_vjp
-    render_grad_fn) — the production gradient route, ~the megakernel's
-    forward speed.  backend="jnp": reverse-mode through the full jnp
-    bounce fold (trace(differentiable=True)), kept as the cross-check
-    oracle (tests/test_grad.py pins the two routes against each other and
+    geometry_edge: optional sequence of sphere indices whose center/radius
+    gradients get the SILHOUETTE boundary term added per step
+    (diff.edge.sphere_silhouette_grad; the interior estimator alone cannot
+    see visibility motion — docs/GRADIENTS.md).  Each shard evaluates the
+    edge line integral against ITS pixels' loss cotangent; the tiles-psum
+    then assembles the full-film integral.  Scope follows diff/edge.py:
+    primary visibility, pinhole camera, static spheres.  edge_kwargs are
+    forwarded (n_edge, spp_edge, max_depth, ...).
+
+    backend="pallas" (default): forward = the QUEUE-driven recording
+    megakernel, backward = the one-hot-MXU scan replay
+    (diff.queued_vjp.render_grad_fb) — the production gradient route at
+    work-queue forward speed.  Requires each shard's `pix_ids` slice to be
+    a CONTIGUOUS pixel range (the canonical arange sharding is).
+    backend="jnp": reverse-mode through the full jnp bounce fold
+    (trace(differentiable=True)), kept as the cross-check oracle
+    (tests/test_grad.py pins the two routes against each other and
     against finite differences)."""
-    if backend == "pallas":
-        from ..diff.pallas_vjp import render_grad_fn
-        grad_f = render_grad_fn(width, height, max_depth=max_depth,
-                                attenuate=True, t_min=t_min, seed=0,
-                                tile_rows=tile_rows, interpret=interpret)
+    grad_f_cache = {}
+
+    def get_grad_f(npx):
+        if npx not in grad_f_cache:
+            from ..diff.queued_vjp import render_grad_fb
+            grad_f_cache[npx] = render_grad_fb(
+                width, height, npx, local_spp, max_depth=max_depth,
+                attenuate=True, t_min=t_min, seed=0, tile_rows=tile_rows,
+                interpret=interpret)
+        return grad_f_cache[npx]
 
     def local_loss(params, target, pix, spp_idx, tile_idx):
         scene_, cam_ = combine(params, (static_scene, static_cam_tree))
@@ -193,9 +213,9 @@ def make_train_step(static_scene, static_cam_tree, width: int, height: int,
         samp = (spp_idx.astype(jnp.uint32) * local_spp
                 + jnp.repeat(jnp.arange(local_spp, dtype=jnp.uint32), npx))
         if backend == "pallas":
-            rad3 = grad_f(scene_, cam_, lanes_pix.astype(jnp.float32),
-                          samp.astype(jnp.float32))
-            img = jnp.mean(rad3.reshape(local_spp, npx, 3), axis=0)
+            img = get_grad_f(npx)(
+                scene_, cam_, pix[0].astype(jnp.float32),
+                (spp_idx * local_spp).astype(jnp.float32))
         else:
             state = rng_mod.seed_perf(lanes_pix, samp, 0)
             state, o, d, tmv = camera_rays(cam_, width, height, lanes_pix,
@@ -210,7 +230,31 @@ def make_train_step(static_scene, static_cam_tree, width: int, height: int,
             ], axis=-1)
         err = img - target
         # mean over the GLOBAL pixel/sample population
-        return jnp.sum(err * err) / jnp.float32(width * height * 3)
+        loss = jnp.sum(err * err) / jnp.float32(width * height * 3)
+        return loss, err
+
+    def add_edge_terms(params, err, pix, grads):
+        """Silhouette boundary terms for the configured spheres, against
+        this shard's loss cotangent dL/dimg = 2*err/(W*H*3)."""
+        from ..diff.edge import sphere_silhouette_grad
+        scene_, cam_ = combine(params, (static_scene, static_cam_tree))
+        ct = jnp.zeros((width * height, 3), jnp.float32)
+        ct = ct.at[pix.astype(jnp.int32)].set(
+            2.0 * err / jnp.float32(width * height * 3))
+        ct = ct.reshape(height, width, 3)
+        kw = dict(edge_kwargs or {})
+        scene_g, cam_g = grads
+        sph_g = scene_g.spheres
+        for si in geometry_edge:
+            eg = sphere_silhouette_grad(scene_, cam_, width, height,
+                                        int(si), ct, **kw)
+            c0 = sph_g.c0
+            c0 = type(c0)(c0.x.at[si].add(eg.center[0]),
+                          c0.y.at[si].add(eg.center[1]),
+                          c0.z.at[si].add(eg.center[2]))
+            sph_g = sph_g._replace(
+                c0=c0, radius=sph_g.radius.at[si].add(eg.radius))
+        return (scene_g._replace(spheres=sph_g), cam_g)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -223,8 +267,10 @@ def make_train_step(static_scene, static_cam_tree, width: int, height: int,
     def sharded_grad(params, target, pix):
         spp_idx = jax.lax.axis_index("spp")
         tile_idx = jax.lax.axis_index("tiles")
-        loss, grads = jax.value_and_grad(local_loss)(
+        (loss, err), grads = jax.value_and_grad(local_loss, has_aux=True)(
             params, target, pix, spp_idx, tile_idx)
+        if geometry_edge:
+            grads = add_edge_terms(params, err, pix, grads)
         # all-reduce: tiles sum partial pixel populations; spp averages
         # independent MC estimates of the same gradient.
         grads = jax.tree_util.tree_map(

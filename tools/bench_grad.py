@@ -1,11 +1,12 @@
-"""Measure forward AND backward gradient throughput of the pallas
-custom-VJP path (diff.pallas_vjp.make_render_grad) on the real chip,
-final scene — the committed evidence for the round-2 verdict's "measured
-backward Mray/s" ask.  Writes docs/GRAD_BENCH.json.
+"""Measure forward AND backward gradient throughput of the production
+queue-driven custom-VJP route (diff.queued_vjp.render_grad_fb) on the real
+chip, final scene — the committed evidence for the verdict's "backward
+>= 20 Mray/s" ask (r4 recorded 0.07 through the pixel-pinned route).
+Writes docs/GRAD_BENCH.json.
 
-Mray/s here counts traced path SEGMENTS of the forward recording pass
-(same unit as bench.py); the backward number divides the same segment
-count by the full value+grad step time minus the forward time.
+Mray/s counts traced path SEGMENTS of the recording forward (same unit as
+bench.py); backward divides the same segment count by (value+grad time -
+forward time).
 """
 import json
 import os
@@ -14,8 +15,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 from path_tracer_tpu.diff import params as P
-from path_tracer_tpu.diff.pallas_vjp import make_render_grad, record_forward
+from path_tracer_tpu.diff.queued_vjp import (rec_segments,
+                                             record_forward_q,
+                                             render_grad_fb)
 from path_tracer_tpu.scene.presets import build_final_scene
 
 W, H = 400, 300
@@ -25,32 +31,29 @@ DEPTH = 50
 
 def main():
     scene, cam = build_final_scene(W / H)
-    n = W * H
-    pix = jnp.tile(jnp.arange(n, dtype=jnp.uint32), SPP)
-    samp = jnp.repeat(jnp.arange(SPP, dtype=jnp.uint32), n)
-    f = make_render_grad(W, H, pix, samp, max_depth=DEPTH, attenuate=True)
+    npx = W * H
+    f = render_grad_fb(W, H, npx, SPP, max_depth=DEPTH, attenuate=True)
+    cfg = {k: v for k, v in f.cfg.items()}
 
     sc_p, sc_s = P.partition(scene)
     cm_p, cm_s = P.partition(cam)
+    zero = jnp.float32(0.0)
 
     def loss(sp, cp):
-        rad = f(P.combine(sp, sc_s), P.combine(cp, cm_s))
-        return jnp.mean(rad)
+        fbm = f(P.combine(sp, sc_s), P.combine(cp, cm_s), zero, zero)
+        return jnp.mean(fbm)
 
-    fwd = jax.jit(lambda sp, cp: loss(sp, cp))
+    fwd = jax.jit(loss)
     vgrad = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
 
-    # segment count from a side-channel forward (wrk not exposed by f):
-    # use the recorded residual win!=0 count as traced segments.
-    def segs_fn():
-        _, res = record_forward(
-            scene, cam, W, H, pix, samp, max_depth=DEPTH, attenuate=True,
-            t_min=1e-3, seed=0,
-            tile_rows=8 if jax.default_backend() == "cpu" else 32,
-            interpret=jax.default_backend() == "cpu")
-        return float(jnp.sum((res.win > 0).astype(jnp.float32)))
-
-    segs = segs_fn()
+    # segment count + queue-drain check from the recorder itself
+    rcfg = {k: cfg[k] for k in ("npx", "spp", "max_depth", "attenuate",
+                                "t_min", "seed", "rows", "rows_b",
+                                "tile_rows", "tile_rows_b", "window", "chunk",
+                                "n_windows", "n_windows_b", "interpret")}
+    _, rec, ok = record_forward_q(scene, cam, W, H, zero, zero, **rcfg)
+    segs = float(rec_segments(rec))
+    assert bool(ok), "recording queue did not drain: raise avg_path_hint"
 
     def timeit(fn, *a, reps=3):
         out = jax.block_until_ready(fn(*a))
@@ -65,8 +68,13 @@ def main():
 
     rec = {
         "config": {"width": W, "height": H, "spp": SPP, "depth": DEPTH,
-                   "scene": "final", "backend": jax.default_backend()},
+                   "scene": "final", "backend": jax.default_backend(),
+                   "route": "queued_vjp", "rows": cfg["rows"],
+                   "steps": cfg["n_windows"] * cfg["window"],
+                   "steps_b": cfg["n_windows_b"] * cfg["window"],
+                   "rows_b": cfg["rows_b"]},
         "segments": segs,
+        "queue_drained": bool(ok),
         "forward_s": round(t_fwd, 4),
         "value_and_grad_s": round(t_both, 4),
         "forward_mray_s": round(segs / t_fwd / 1e6, 3),
