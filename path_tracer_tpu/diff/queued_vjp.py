@@ -20,15 +20,24 @@ this repo is built on:
   (the drain tail is ~3*max_depth steps at <5% live; running it full-width
   measured occupancy 0.45 vs 0.75 staged).  The compaction permutation is
   recorded so the replay can follow.
-* **Backward** = one `lax.scan` per stage over the recorded steps.  The
-  winner's 48 attributes are fetched with a (lanes, R) one-hot **MXU
-  matmul** against a scan-id-indexed attribute table — the TPU-idiomatic
-  gather; zero per-lane random access in the loop.  Cotangents reach
-  termination sites through two one-shot index passes (a termination-site
-  scatter + one (L, 3) cotangent scatter), both outside the scans.  The
-  scan bodies are rematerialized (jax.checkpoint): storing every per-step
-  intermediate for the transpose measured 5x the forward's cost in HBM
-  residual traffic; recomputing the cheap body wins.
+* **Backward** = `jax.vjp` of a differentiable REPLAY that reconstructs
+  the framebuffer from the records: one nested `lax.scan` per stage over
+  the recorded steps, re-deriving every continuous quantity along the
+  recorded paths.  The winner's 48 attributes are fetched with a
+  (lanes, R) one-hot **MXU matmul** against a scan-id-indexed attribute
+  table — the TPU-idiomatic gather; zero per-lane random access in the
+  loop.  Radiance banks into the recorder's own two per-lane deposit
+  slots and flushes to the framebuffer once per window, so the replay's
+  random access is O(n/window) scatter elements (its transpose is the
+  matching gather) instead of the per-cell cotangent scatter a
+  site-indexed proxy would need (~42 ms of the backward at the r5 bench
+  config, measured — docs/PERF_NOTES.md's 7.5 ns/element law).  The
+  window scans are rematerialized (jax.checkpoint): storing every
+  per-step intermediate for the transpose measured 5x the forward's cost
+  in HBM residual traffic; recomputing the cheap window body wins.
+  Stage B (the drain) records with DENSE texel fixups — at drain width a
+  full atlas gather is ~10 us/step, stalls would only stretch the
+  path-length-bound tail that sets the floor-dominated step count.
 
 The estimator is identical to pallas_vjp/the jnp route (detached sampling,
 interior terms — docs/GRADIENTS.md): every discrete decision (winner id,
@@ -69,6 +78,36 @@ from ..ops.pallas import wave_bounce as WB
 LANE = WB.LANE
 SG = jax.lax.stop_gradient
 f32 = jnp.float32
+
+# Attribute-fetch formulation (see _replay_body).  "split3": bf16 one-hot
+# against a 3-way bf16-split table — the one-hot is the fetch's real cost
+# (its (lanes, R) materialization is pure HBM traffic, ~5.2 ns/lane-step
+# in f32, measured), so halving it to bf16 and reconstructing f32 exactly
+# from three bf16 planes (hi + mid + lo, the float-splitting trick; each
+# one-hot row selects a single term, so the f32 accumulator sees no
+# cancellation) beats Precision.HIGH on an f32 one-hot ~2x.  "high" keeps
+# the r5.0 formulation for ablation.
+FETCH_MODE = "split3"
+MATMUL_PRECISION = jax.lax.Precision.HIGH
+# rematerialize each replay window in the backward pass (True) vs store
+# every per-step carry (False); see replay_fb
+REPLAY_REMAT = True
+# recorder inner-scan unroll (capped at `window`); the tunnel's per-call
+# dispatch overhead scales with program size, so bigger is not always
+# better at small configs
+RECORD_UNROLL = 16
+
+
+def _split3(tab: jnp.ndarray) -> jnp.ndarray:
+    """(R, A) f32 -> (R, 3A) bf16 planes [hi | mid | lo] with
+    hi + mid + lo == tab to f32 precision (24-bit significand = 3 x 8-bit
+    bf16 mantissas)."""
+    bf = jnp.bfloat16
+    hi = tab.astype(bf)
+    r1 = tab - hi.astype(jnp.float32)
+    mid = r1.astype(bf)
+    lo = (r1 - mid.astype(jnp.float32)).astype(bf)
+    return jnp.concatenate([hi, mid, lo], axis=1)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -121,7 +160,8 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
                      max_depth: int, attenuate: bool, t_min: float, seed,
                      rows: int, rows_b: int, tile_rows: int,
                      tile_rows_b: int, window: int, chunk: int,
-                     n_windows: int, n_windows_b: int, interpret: bool
+                     n_windows: int, n_windows_b: int, interpret: bool,
+                     dense_fix_b: bool = True, tail_pix: int = 0
                      ) -> Tuple[jnp.ndarray, RecQ, jnp.ndarray]:
     """Trace samples [samp_base, samp_base+spp) of pixels
     [pix_base, pix_base+npx) through the work-queue megakernel, recording
@@ -135,7 +175,20 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
     C = chunk
     cpp = spp // C
     assert cpp * C == spp, (spp, C)
-    n_chunks = npx * cpp
+    # Variable chunking: the last `tail_pix` pixels are granted as
+    # SINGLE-sample chunks.  A C-sample chunk is a serial chain of up to
+    # C*max_depth kernel steps on one lane (measured max 200 at C=4,
+    # depth 50 on the final scene); chains granted near the queue's end
+    # set the drain tail's length, which is pure floor-bound step count.
+    # Splitting only the tail keeps the deposit amortization of big
+    # chunks for ~95% of the work while capping the late chains at one
+    # path.  Streams are keyed on (pixel, sample), so radiance is
+    # bit-identical up to deposit reassociation (engine/wq.py work-order
+    # note).
+    tail_pix = min(int(tail_pix), npx)
+    head_pix = npx - tail_pix
+    head_chunks = head_pix * cpp
+    n_chunks = head_chunks + tail_pix * spp
     pix_base_f = jnp.asarray(pix_base, f32)
     samp_base_f = jnp.asarray(samp_base, f32)
 
@@ -149,10 +202,13 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
         WB.wave_bounce, t_min=t_min, max_depth=max_depth,
         attenuate=attenuate, tile_rows=tr, interpret=interpret)
 
-    def refill(st: WB.WaveState, ex: WQ.WqwExtra, counter, fx: WB.FixState):
+    def refill(st: WB.WaveState, ex: WQ.WqwExtra, counter, fx: WB.FixState,
+               lo=None):
         """wq_window_fb's chunk-grant refill (engine/wq.py): grant dead
         lanes the next pixel-major chunk, bank the finished chunk's
-        accumulator into a free deposit slot."""
+        accumulator into a free deposit slot.  `lo` = the drain stage's
+        leftover-singles queue (lo_pix, lo_s, n_lo): chunk ids past the
+        main queue map into it (see the stage boundary below)."""
         sh = st.ox.shape
         slot0_free = ex.bpix0 < 0.0
         slot1_free = ex.bpix1 < 0.0
@@ -163,11 +219,24 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
                        | jnp.logical_not(had_chunk))
         elig_i = elig.reshape(-1).astype(jnp.int32)
         rank = jnp.cumsum(elig_i) - elig_i
-        navail = n_chunks - counter
+        n_total = n_chunks if lo is None else n_chunks + lo[2]
+        navail = n_total - counter
         grant = (elig.reshape(-1) & (rank < navail)).reshape(sh)
         cid = counter + rank.reshape(sh)
-        pix_new = pix_base_f + (cid // cpp).astype(f32)
-        s0 = samp_base_f + ((cid % cpp) * C).astype(f32)
+        in_tail = cid >= head_chunks
+        j = jnp.maximum(cid - head_chunks, 0)
+        pix_new = pix_base_f + jnp.where(
+            in_tail, head_pix + j // spp, cid // cpp).astype(f32)
+        s0 = samp_base_f + jnp.where(
+            in_tail, j % spp, (cid % cpp) * C).astype(f32)
+        clen = jnp.where(in_tail, f32(1.0), f32(C))
+        if lo is not None:
+            lo_pix, lo_s, _ = lo
+            in_lo = cid >= n_chunks
+            li = jnp.clip(cid - n_chunks, 0, lo_pix.shape[0] - 1)
+            pix_new = jnp.where(in_lo, lo_pix[li], pix_new)
+            s0 = jnp.where(in_lo, lo_s[li], s0)
+            clen = jnp.where(in_lo, f32(1.0), clen)
 
         pix_u = pix_new.reshape(-1).astype(jnp.uint32)
         s_u = s0.reshape(-1).astype(jnp.uint32)
@@ -207,7 +276,7 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
             bnc=jnp.where(grant, zero, st.bnc),
             pix=jnp.where(grant, pix_new, st.pix),
             s=jnp.where(grant, s0, st.s),
-            send=jnp.where(grant, s0 + f32(C), st.send),
+            send=jnp.where(grant, s0 + clen, st.send),
             accx=jnp.where(grant, zero, st.accx),
             accy=jnp.where(grant, zero, st.accy),
             accz=jnp.where(grant, zero, st.accz),
@@ -245,14 +314,19 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
                                 st.accz.reshape(-1)])
         return fb.at[idx].add(vals)
 
-    def run_stage(carry0, fb, n_win, k0, step):
+    def run_stage(carry0, fb, n_win, k0, step, dense_fix, lo=None):
         def bounce(carry, k):
             st, ex, counter, fx, ppix, ps = carry
-            st, ex, counter = refill(st, ex, counter, fx)
+            st, ex, counter = refill(st, ex, counter, fx, lo)
             rec_pix = st.pix
             rec_s = st.s
             fresh = ((rec_s != ps) | (rec_pix != ppix)) & (st.alive > 0.0)
-            texel, srv = WQ.texel_service(fx, k, atlas_flat, n_atlas)
+            if dense_fix:
+                idx = jnp.clip(fx.idx.astype(jnp.int32), 0, n_atlas - 1)
+                texel = atlas_flat[idx]
+                srv = jnp.ones_like(fx.kind)
+            else:
+                texel, srv = WQ.texel_service(fx, k, atlas_flat, n_atlas)
             fixk = fx.kind * srv
             d_in = (st.dx, st.dy, st.dz)
             out = step(tables, st, fix=fx, texel=texel, srv=srv)
@@ -268,7 +342,7 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
                                                         dtype=jnp.int32)
             (st, ex, counter, fx, ppix, ps), recs = jax.lax.scan(
                 bounce, (st, ex, counter, fx, ppix, ps), ks,
-                unroll=1 if interpret else window)
+                unroll=1 if interpret else min(window, RECORD_UNROLL))
             ex, fb = deposit(ex, fb)
             return (st, ex, counter, fx, ppix, ps, fb), recs
 
@@ -334,7 +408,7 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
     neg = jnp.full(sh, -1.0, f32)
     carry = (st0, ex0, jnp.int32(0), fx0, neg, neg)
     carry, fb, res_a = run_stage(carry, fb, n_windows, jnp.int32(0),
-                                 mkstep(tile_rows))
+                                 mkstep(tile_rows), False)
     st, ex, counter, fx, ppix, ps = carry
 
     # ---- boundary: flush + compact 8x ------------------------------------
@@ -344,16 +418,49 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
                                                     rows_b)
     ex_b = WQ._zeros_extra(rows_b)
 
+    # ---- boundary: split surviving chunks --------------------------------
+    # A surviving C-sample chunk is a serial chain of up to C*max_depth
+    # further steps on ONE lane — the measured drain-tail length (chunk
+    # chains max 200 steps at C=4, depth 50).  The current sample keeps
+    # its lane; the chunk's not-yet-started samples re-queue as
+    # single-sample grants any idle drain lane can pick up.  Streams are
+    # keyed on (pixel, sample) (engine/wq.py work-order note), so
+    # radiance is unchanged up to deposit reassociation.
+    lo = None
+    if C > 1:
+        w_b = rows_b * LANE
+        qcap = (C - 1) * w_b
+        masks, pixs, svals = [], [], []
+        valid_b = (st.s >= 0.0).reshape(-1)
+        for jj in range(1, C):
+            masks.append(valid_b & ((st.s + f32(jj)) < st.send).reshape(-1))
+            pixs.append(st.pix.reshape(-1))
+            svals.append((st.s + f32(jj)).reshape(-1))
+        m_all = jnp.concatenate(masks)
+        m_i = m_all.astype(jnp.int32)
+        r = jnp.cumsum(m_i) - m_i
+        tgt = jnp.where(m_all & (r < qcap), r, qcap)
+        lo_pix = jnp.zeros((qcap + 1,), f32).at[tgt].set(
+            jnp.concatenate(pixs), mode="drop")[:qcap]
+        lo_s = jnp.zeros((qcap + 1,), f32).at[tgt].set(
+            jnp.concatenate(svals), mode="drop")[:qcap]
+        n_lo = jnp.sum(m_i)
+        lo = (lo_pix, lo_s, n_lo)
+        st = st._replace(send=jnp.where(st.s >= 0.0,
+                                        jnp.minimum(st.send, st.s + 1.0),
+                                        st.send))
+
     # ---- stage B: narrow drain -------------------------------------------
     carry = (st, ex_b, counter, fx, ppix, ps)
     carry, fb, res_b = run_stage(carry, fb, n_windows_b,
                                  jnp.int32(n_windows * window),
-                                 mkstep(tile_rows_b))
+                                 mkstep(tile_rows_b), dense_fix_b, lo)
     st, ex, counter, fx, ppix, ps = carry
     ex, fb = deposit(ex, fb)
     fb = flush_acc(st, fb)
 
-    ok = ((counter >= n_chunks)
+    n_work = n_chunks if lo is None else n_chunks + lo[2]
+    ok = ((counter >= n_work)
           & jnp.logical_not(jnp.any(st.alive > 0.0))
           & jnp.all(fx.kind == 0.0)
           & (nlive <= rows_b * LANE))
@@ -367,14 +474,23 @@ def record_forward_q(scene: T.Scene, cam: Camera, width: int, height: int,
 # Scan-indexed attribute table (the MXU "gather")
 # ---------------------------------------------------------------------------
 
-# column layout (A = 48)
+# Main-table column layout (A = 27).  Triangle and media geometry live in
+# tiny per-class side tables (build_attr_table) fetched with their own
+# (lanes, n_class) one-hots: the main fetch's MXU cost is lanes*R*3A and
+# tris/media contribute few rows but 21 columns — moving them out shrank
+# the dominant matmul 144 -> 81 split3 columns (~1.8x, measured r5).
+# Rects stay in the main table: their six axis-plane constants are merged
+# across box sides by scan id (scatter-min/max), which needs scan-indexed
+# rows.
 _C_SPH = 0     # c0x c0y c0z dcx dcy dcz t0 inv_dt radius           (0-8)
 _C_RECT = 9    # x0 x1 y0 y1 z0 z1  (axis-plane constants/bounds)   (9-14)
-_C_TRI = 15    # v0x v0y v0z e1x e1y e1z e2x e2y e2z                (15-23)
-_C_MED = 24    # btype cx cy cz r pmnx pmny pmnz pmxx pmxy pmxz nid (24-35)
-_C_MAT = 36    # mtype param colx coly colz                         (36-40)
-_C_TEX = 41    # ttype t1x t1y t1z t2x t2y t2z                      (41-47)
-_A = 48
+_C_MAT = 15    # mtype param colx coly colz                         (15-19)
+_C_TEX = 20    # ttype t1x t1y t1z t2x t2y t2z                      (20-26)
+_A = 27
+# tri side table: v0x v0y v0z e1x e1y e1z e2x e2y e2z               (0-8)
+_A_TRI = 9
+# media side table: btype cx cy cz r pmnx..pmnz pmxx..pmxz nid      (0-11)
+_A_MED = 12
 
 
 def _mat_cols(scene: T.Scene, mat_idx):
@@ -394,18 +510,41 @@ def _mat_cols(scene: T.Scene, mat_idx):
             tkt(tx.c2.x), tkt(tx.c2.y), tkt(tx.c2.z)]
 
 
-def attr_table_rows(scene: T.Scene) -> int:
+def attr_table_rows(scene: T.Scene, attr_rows: int = None) -> int:
+    """Static row count of the scan-indexed table.  The shape-derived
+    bound counts PADDED per-class arrays; pass `attr_rows` (e.g. from
+    `static_attr_rows` on a concrete scene) to tighten it — the fetch
+    matmul is linear in R (640 -> 512 on the final scene)."""
+    if attr_rows is not None:
+        return min(1024, _round_up(max(attr_rows, LANE), LANE))
     n = (scene.spheres.radius.shape[0] + scene.rects.k.shape[0]
          + scene.triangles.scan.shape[0] + scene.media.r.shape[0])
     return min(1024, _round_up(max(n, LANE), LANE))
 
 
-def build_attr_table(scene: T.Scene) -> jnp.ndarray:
-    """(R, 48) f32 winner-attribute table indexed by GLOBAL scan id.
-    Differentiable w.r.t. every float scene leaf it reads; `oh @ table` in
-    the replay is the MXU gather and its transpose routes cotangents back
-    into the scene pytree."""
-    R = attr_table_rows(scene)
+def static_attr_rows(scene: T.Scene) -> int:
+    """max active scan id + 1 of a CONCRETE scene — the tight `attr_rows`
+    hint for render_grad_fb (a static int; do not call under trace)."""
+    import numpy as np
+    m = 0
+    for arr, act in ((scene.spheres.scan, scene.spheres.active),
+                     (scene.rects.scan, scene.rects.active),
+                     (scene.triangles.scan, scene.triangles.active),
+                     (scene.media.scan, scene.media.active)):
+        a = np.asarray(arr)[np.asarray(act)]
+        if a.size:
+            m = max(m, int(a.max()) + 1)
+    return max(m, 1)
+
+
+def build_attr_table(scene: T.Scene, attr_rows: int = None):
+    """Winner-attribute tables indexed by GLOBAL scan id: the (R, 27)
+    main table plus (n_tri, 9) / (n_med, 12) side tables with their scan
+    id vectors (padded rows never match — their scan is the builder's
+    2^30 sentinel).  Differentiable w.r.t. every float scene leaf read;
+    `oh @ table` in the replay is the MXU gather and its transpose routes
+    cotangents back into the scene pytree."""
+    R = attr_table_rows(scene, attr_rows)
     tab = jnp.zeros((R + 1, _A), f32)      # row R = drop slot
 
     def rowset(tab, idx, col0, cols):
@@ -456,43 +595,68 @@ def build_attr_table(scene: T.Scene) -> jnp.ndarray:
 
     tr = scene.triangles
     i_t = jnp.where(tr.active, jnp.clip(tr.scan, 0, R), R)
-    tab = rowset(tab, i_t, _C_TRI,
-                 [tr.v0.x, tr.v0.y, tr.v0.z,
-                  tr.v1.x - tr.v0.x, tr.v1.y - tr.v0.y, tr.v1.z - tr.v0.z,
-                  tr.v2.x - tr.v0.x, tr.v2.y - tr.v0.y, tr.v2.z - tr.v0.z])
     tab = rowset(tab, i_t, _C_MAT, _mat_cols(scene, tr.mat))
+    tri_tab = jnp.stack(
+        [tr.v0.x, tr.v0.y, tr.v0.z,
+         tr.v1.x - tr.v0.x, tr.v1.y - tr.v0.y, tr.v1.z - tr.v0.z,
+         tr.v2.x - tr.v0.x, tr.v2.y - tr.v0.y, tr.v2.z - tr.v0.z], axis=1)
+    tri_ids = jnp.where(tr.active, tr.scan, -1).astype(jnp.int32)
 
     md = scene.media
     i_m = jnp.where(md.active, jnp.clip(md.scan, 0, R), R)
-    tab = rowset(tab, i_m, _C_MED,
-                 [md.btype.astype(f32), md.c.x, md.c.y, md.c.z, md.r,
-                  md.pmin.x, md.pmin.y, md.pmin.z,
-                  md.pmax.x, md.pmax.y, md.pmax.z, md.neg_inv_density])
     tab = rowset(tab, i_m, _C_MAT, _mat_cols(scene, md.mat))
+    med_tab = jnp.stack(
+        [md.btype.astype(f32), md.c.x, md.c.y, md.c.z, md.r,
+         md.pmin.x, md.pmin.y, md.pmin.z,
+         md.pmax.x, md.pmax.y, md.pmax.z, md.neg_inv_density], axis=1)
+    med_ids = jnp.where(md.active, md.scan, -1).astype(jnp.int32)
 
-    return tab[:R]
+    return tab[:R], tri_tab, tri_ids, med_tab, med_ids
 
 
 # ---------------------------------------------------------------------------
 # Differentiable scan replay
 # ---------------------------------------------------------------------------
 
-def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
-                 attenuate, t_min):
+def _replay_body(tab, tri_tab, tri_ids, med_tab, med_ids, iota_r, cam,
+                 width, height, seed_u, max_depth, attenuate, t_min):
     """One recorded step for every lane — winner-only, differentiable.
     Shape-agnostic: operates on whatever (lanes,) slices the stage scan
-    feeds it."""
+    feeds it.  Radiance accumulates per lane (ax/ay/az, the replay's
+    st.acc*) and banks into the two per-lane deposit slots (b0*/b1*) when
+    the lane's pixel changes — the recorder's refill only grants with a
+    free slot and flushes both every window, so two slots never overflow
+    here either (engine/wq.py refill)."""
     inv255 = f32(1.0 / 255.0)
 
     def body(carry, xs):
         (ox, oy, oz, dx, dy, dz, tm, tpx, tpy, tpz,
-         pex, pey, pez, pgx, pgy, pgz, acc) = carry
-        (pix, s, fresh, win, t_rec_, dnx_, dny_, dnz_, texel_, fixk,
-         gx_t, gy_t, gz_t) = xs
+         pex, pey, pez, ax, ay, az, ppix,
+         b0p, b0r, b0g, b0b, b1p, b1r, b1g, b1b) = carry
+        (pix, s, fresh, win, t_rec_, dnx_, dny_, dnz_, texel_, fixk) = xs
         t_rec = SG(t_rec_)
         d_next = (SG(dnx_), SG(dny_), SG(dnz_))
         texel = SG(texel_)
         frs = fresh > 0.0
+
+        # ---- pixel change: bank the finished chunk's radiance ------------
+        pixc = pix != ppix
+        bank = pixc & (ppix >= 0.0)
+        slot0_free = b0p < 0.0
+        use0 = bank & slot0_free
+        use1 = bank & jnp.logical_not(slot0_free)
+        b0p = jnp.where(use0, ppix, b0p)
+        b0r = jnp.where(use0, ax, b0r)
+        b0g = jnp.where(use0, ay, b0g)
+        b0b = jnp.where(use0, az, b0b)
+        b1p = jnp.where(use1, ppix, b1p)
+        b1r = jnp.where(use1, ax, b1r)
+        b1g = jnp.where(use1, ay, b1g)
+        b1b = jnp.where(use1, az, b1b)
+        zf = jnp.zeros_like(ax)
+        ax = jnp.where(pixc, zf, ax)
+        ay = jnp.where(pixc, zf, ay)
+        az = jnp.where(pixc, zf, az)
 
         # ---- fresh path start: differentiable camera ray -----------------
         pix_u = jnp.clip(pix, 0.0, None).astype(jnp.uint32)
@@ -516,9 +680,9 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
         tpx = jnp.where(is_alb_fix, tpx * txr, tpx)
         tpy = jnp.where(is_alb_fix, tpy * txg, tpy)
         tpz = jnp.where(is_alb_fix, tpz * txb, tpz)
-        acc = acc + jnp.where(
-            is_emit_fix,
-            pex * txr * pgx + pey * txg * pgy + pez * txb * pgz, 0.0)
+        ax = ax + jnp.where(is_emit_fix, pex * txr, 0.0)
+        ay = ay + jnp.where(is_emit_fix, pey * txg, 0.0)
+        az = az + jnp.where(is_emit_fix, pez * txb, 0.0)
 
         # ---- decode the winner record ------------------------------------
         live = win > 0.0
@@ -535,15 +699,30 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
         is_m = hit & (cls == 3.0)
 
         # ---- winner attributes: ONE one-hot MXU matmul -------------------
-        # Precision.HIGH (3-pass bf16): the default single-pass bf16
-        # matmul ROUNDS every fetched attribute (0.6 -> 0.6015625, a
-        # +0.26% radiance bias, measured); with an exactly-0/1 one-hot the
-        # hi/mid/lo 3-pass product reconstructs the full f32 value exactly
-        # (each one-hot row selects a single term — no accumulation).
-        oh = (scan[:, None] == iota_r[None, :]).astype(f32)
-        at = jnp.dot(oh, tab, preferred_element_type=f32,
-                     precision=jax.lax.Precision.HIGH)  # (lanes, 48)
+        # A single-pass bf16 matmul on an f32 table ROUNDS every fetched
+        # attribute (0.6 -> 0.6015625, a +0.26% radiance bias, measured);
+        # FETCH_MODE picks how full f32 values are reconstructed (see the
+        # module constants).  `tab` here is the pre-split (R, 3A) bf16
+        # table under "split3", the raw (R, A) f32 table under "high".
+        if FETCH_MODE == "split3":
+            oh = (scan[:, None] == iota_r[None, :]).astype(jnp.bfloat16)
+            prod = jnp.dot(oh, tab, preferred_element_type=f32)
+            at = prod[:, :_A] + prod[:, _A:2 * _A] + prod[:, 2 * _A:]
+        else:
+            oh = (scan[:, None] == iota_r[None, :]).astype(f32)
+            at = jnp.dot(oh, tab, preferred_element_type=f32,
+                         precision=MATMUL_PRECISION)    # (lanes, 27)
         col = lambda j: at[:, j]
+        # tri/media side tables: few rows, so exact f32 one-hot matmuls
+        # are noise next to the main fetch (HIGHEST = full-f32 passes)
+        oh_t = (scan[:, None] == tri_ids[None, :]).astype(f32)
+        at_t = jnp.dot(oh_t, tri_tab, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+        colt = lambda j: at_t[:, j]
+        oh_m = (scan[:, None] == med_ids[None, :]).astype(f32)
+        at_m = jnp.dot(oh_m, med_tab, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+        colm = lambda j: at_m[:, j]
 
         a = dx * dx + dy * dy + dz * dz
         a_safe = jnp.where(a == 0.0, 1.0, a)
@@ -587,9 +766,9 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
                 n_rz = jnp.where(upd, f32(1.0 if j == 2 else 0.0), n_rz)
 
         # triangle (Moller-Trumbore; triangle.hpp:58-100)
-        v0x, v0y, v0z = col(_C_TRI + 0), col(_C_TRI + 1), col(_C_TRI + 2)
-        e1x, e1y, e1z = col(_C_TRI + 3), col(_C_TRI + 4), col(_C_TRI + 5)
-        e2x, e2y, e2z = col(_C_TRI + 6), col(_C_TRI + 7), col(_C_TRI + 8)
+        v0x, v0y, v0z = colt(0), colt(1), colt(2)
+        e1x, e1y, e1z = colt(3), colt(4), colt(5)
+        e2x, e2y, e2z = colt(6), colt(7), colt(8)
         pvx = dy * e2z - dz * e2y
         pvy = dz * e2x - dx * e2z
         pvz = dx * e2y - dy * e2x
@@ -602,9 +781,9 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
         t_tri = (e2x * qvx + e2y * qvy + e2z * qvz) / det
 
         # medium event (constant_medium.hpp:28-77): t = t1c + nid*logu/|d|
-        mb = SG(col(_C_MED + 0))
-        mcx, mcy, mcz = col(_C_MED + 1), col(_C_MED + 2), col(_C_MED + 3)
-        mr = col(_C_MED + 4)
+        mb = SG(colm(0))
+        mcx, mcy, mcz = colm(1), colm(2), colm(3)
+        mr = colm(4)
         mocx, mocy, mocz = ox - mcx, oy - mcy, oz - mcz
         mbq = mocx * dx + mocy * dy + mocz * dz
         mcc = mocx * mocx + mocy * mocy + mocz * mocz - mr * mr
@@ -612,9 +791,9 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
         mpos = SG(mdisc > 0.0)
         msq = jnp.sqrt(jnp.where(mpos, mdisc, 1.0)) * mpos.astype(f32)
         ment_s = (-mbq - msq) / a_safe
-        pmnx, pmny, pmnz = col(_C_MED + 5), col(_C_MED + 6), col(_C_MED + 7)
-        pmxx, pmxy, pmxz = col(_C_MED + 8), col(_C_MED + 9), \
-            col(_C_MED + 10)
+        pmnx, pmny, pmnz = colm(5), colm(6), colm(7)
+        pmxx, pmxy, pmxz = colm(8), colm(9), \
+            colm(10)
         ent_b = jnp.full_like(a, jnp.inf)
         for kk_, ov, dv, oav, dav, a0_, a1_, obv, dbv, b0_, b1_ in (
             (pmxz, oz, dz, ox, dx, pmnx, pmxx, oy, dy, pmny, pmxy),
@@ -635,7 +814,7 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
         t1c = jnp.maximum(jnp.maximum(ment, f32(t_min)), 0.0)
         t1c = jnp.where(jnp.isfinite(t1c), t1c, 0.0)
         ray_len = jnp.sqrt(a_safe)
-        nid = col(_C_MED + 11)
+        nid = colm(11)
         nid_safe = jnp.where(nid == 0.0, -1.0, nid)
         logu = SG((t_rec - t1c) * ray_len / nid_safe)
         t_med = t1c + nid_safe * logu * inv_len
@@ -741,7 +920,7 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
         nd_z = jnp.where(is_lam, dl_z, jnp.where(is_metal, dm_z, jnp.where(
             is_diel, dd_z, d_next[2])))
 
-        # ---- terminal contributions . cotangent --------------------------
+        # ---- terminal contributions into the lane accumulator ------------
         sky_tv = 0.5 * (udy + 1.0)
         skyx = 1.0 - sky_tv + sky_tv * f32(0.5)
         skyy = 1.0 - sky_tv + sky_tv * f32(0.7)
@@ -752,21 +931,18 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
             ewx, ewy, ewz = tpx, tpy, tpz
         else:
             ewx = ewy = ewz = jnp.ones_like(tpx)
-        acc = acc + jnp.where(
-            miss, tpx * skyx * gx_t + tpy * skyy * gy_t
-            + tpz * skyz * gz_t, 0.0)
+        ax = ax + jnp.where(miss, tpx * skyx, 0.0)
+        ay = ay + jnp.where(miss, tpy * skyy, 0.0)
+        az = az + jnp.where(miss, tpz * skyz, 0.0)
         emit_now = stop_em & jnp.logical_not(is_img)
-        acc = acc + jnp.where(
-            emit_now, ewx * alb_x * gx_t + ewy * alb_y * gy_t
-            + ewz * alb_z * gz_t, 0.0)
+        ax = ax + jnp.where(emit_now, ewx * alb_x, 0.0)
+        ay = ay + jnp.where(emit_now, ewy * alb_y, 0.0)
+        az = az + jnp.where(emit_now, ewz * alb_z, 0.0)
         # image-texture emission defers to the step its texel is serviced
         emit_pend = stop_em & is_img
         pex = jnp.where(emit_pend, ewx, pex)
         pey = jnp.where(emit_pend, ewy, pey)
         pez = jnp.where(emit_pend, ewz, pez)
-        pgx = jnp.where(emit_pend, gx_t, pgx)
-        pgy = jnp.where(emit_pend, gy_t, pgy)
-        pgz = jnp.where(emit_pend, gz_t, pgz)
 
         # ---- advance the continuing path ---------------------------------
         att_x = jnp.where(is_light | is_img, 1.0, alb_x)
@@ -782,7 +958,8 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
         dy = jnp.where(cont, nd_y, dy)
         dz = jnp.where(cont, nd_z, dz)
         return (ox, oy, oz, dx, dy, dz, tm, tpx, tpy, tpz,
-                pex, pey, pez, pgx, pgy, pgz, acc), None
+                pex, pey, pez, ax, ay, az, pix,
+                b0p, b0r, b0g, b0b, b1p, b1r, b1g, b1b), None
 
     return body
 
@@ -790,24 +967,85 @@ def _replay_body(tab, iota_r, cam, width, height, seed_u, max_depth,
 def _zeros_carry(lanes):
     z = jnp.zeros((lanes,), f32)
     one = jnp.ones((lanes,), f32)
+    neg = jnp.full((lanes,), -1.0, f32)
     return (z, z, z, z, z, one, z, one, one, one,
-            z, z, z, z, z, z, z)
+            z, z, z, z, z, z, neg,
+            neg, z, z, z, neg, z, z, z)
 
 
-def replay_proxy(scene: T.Scene, cam: Camera, rec: RecQ, g, *,
-                 width: int, height: int, max_depth: int, attenuate: bool,
-                 t_min: float, seed, unroll: int = 4) -> jnp.ndarray:
-    """Scalar sum over recorded steps of (terminal radiance . cotangent):
-    its gradient w.r.t. (scene, cam) IS the render's VJP.  g = the three
-    (S, lanes) per-stage cotangent grids from `_cotangents_at_sites`."""
-    (gax, gay, gaz), (gbx, gby, gbz) = g
-    tab = build_attr_table(scene)
+def replay_fb(scene: T.Scene, cam: Camera, rec: RecQ, pix_base, *,
+              width: int, height: int, npx: int, max_depth: int,
+              attenuate: bool, t_min: float, seed, window: int,
+              unroll: int = 4, attr_rows: int = None) -> jnp.ndarray:
+    """Differentiable reconstruction of the recorded forward's
+    UNnormalized radiance sums (npx, 3): replays every recorded step and
+    deposits through the recorder's own window-banked slots.  Its
+    `jax.vjp` with the image cotangent IS the render's backward — no
+    per-cell cotangent placement pass (the site-scatter alternative
+    measured 42 ms at the r5 bench config, pure 7.5 ns/element random
+    access).  Windows align with the recorder's (same `window`), so the
+    two bank slots cannot overflow (refill grants only with a free
+    slot)."""
+    tab, tri_tab, tri_ids, med_tab, med_ids = build_attr_table(
+        scene, attr_rows)
     R = tab.shape[0]
+    if FETCH_MODE == "split3":
+        tab = _split3(tab)     # inside the vjp: cotangents flow through
     iota_r = jnp.arange(R, dtype=jnp.int32)
     seed_u = jnp.asarray(seed).astype(jnp.uint32)
-    body = _replay_body(tab, iota_r, cam, width, height, seed_u,
-                        max_depth, attenuate, t_min)
-    body = jax.checkpoint(body, prevent_cse=False)
+    body = _replay_body(tab, tri_tab, tri_ids, med_tab, med_ids, iota_r,
+                        cam, width, height, seed_u, max_depth, attenuate,
+                        t_min)
+    pix_base_f = jnp.asarray(pix_base, f32)
+    npl = jnp.int32(npx)
+    drop = 3 * npx
+
+    def idx3(bp):
+        valid = bp >= 0.0
+        base = (bp - pix_base_f).astype(jnp.int32)
+        return [jnp.where(valid, base + c * npl, drop) for c in range(3)]
+
+    def flush_slots(carry, fb):
+        b0p, b0r, b0g, b0b, b1p, b1r, b1g, b1b = carry[17:25]
+        i0 = idx3(b0p)
+        i1 = idx3(b1p)
+        for i2, v2 in ((i0[0], b0r), (i0[1], b0g), (i0[2], b0b),
+                       (i1[0], b1r), (i1[1], b1g), (i1[2], b1b)):
+            fb = fb.at[i2].add(v2)
+        neg = jnp.full_like(b0p, -1.0)
+        z = jnp.zeros_like(b0r)
+        return carry[:17] + (neg, z, z, z, neg, z, z, z), fb
+
+    def flush_acc(carry, fb):
+        ax, ay, az, ppix = carry[13], carry[14], carry[15], carry[16]
+        valid = ppix >= 0.0
+        base = (ppix - pix_base_f).astype(jnp.int32)
+        idx = jnp.concatenate([jnp.where(valid, base + c * npl, drop)
+                               for c in range(3)])
+        fb = fb.at[idx].add(jnp.concatenate([ax, ay, az]))
+        z = jnp.zeros_like(ax)
+        return carry[:13] + (z, z, z) + carry[16:], fb
+
+    def run_stage(carry0, fb, res: ResQ, dn, lanes):
+        xs = (res.pix, res.s, res.fresh, res.win, res.t,
+              dn[0], dn[1], dn[2], res.texel, res.fixk)
+        n_win = res.win.shape[0] // window
+        xs_w = tuple(x.reshape(n_win, window, lanes) for x in xs)
+
+        def win_scan(carry, xw):
+            carry, _ = jax.lax.scan(body, carry, xw, unroll=unroll)
+            return carry
+        if REPLAY_REMAT:
+            win_scan = jax.checkpoint(win_scan, prevent_cse=False)
+
+        def wbody(cfb, xw):
+            carry, fb = cfb
+            carry = win_scan(carry, xw)
+            carry, fb = flush_slots(carry, fb)
+            return (carry, fb), None
+
+        (carry, fb), _ = jax.lax.scan(wbody, (carry0, fb), xs_w)
+        return carry, fb
 
     a, bres = rec.a, rec.b
     lanes_a = a.win.shape[1]
@@ -823,62 +1061,28 @@ def replay_proxy(scene: T.Scene, cam: Camera, rec: RecQ, g, *,
     dnx_a = jnp.concatenate([a.dx[1:], back(bres.dx[0])[None]], axis=0)
     dny_a = jnp.concatenate([a.dy[1:], back(bres.dy[0])[None]], axis=0)
     dnz_a = jnp.concatenate([a.dz[1:], back(bres.dz[0])[None]], axis=0)
-    xs_a = (a.pix, a.s, a.fresh, a.win, a.t, dnx_a, dny_a, dnz_a,
-            a.texel, a.fixk, gax, gay, gaz)
-    carry_a, _ = jax.lax.scan(body, _zeros_carry(lanes_a), xs_a,
-                              unroll=unroll)
 
-    # boundary: gather surviving lanes' carries through the permutation
-    acc_a = jnp.sum(carry_a[-1])
+    fb = jnp.zeros((3 * npx + 1,), f32)
+    carry_a, fb = run_stage(_zeros_carry(lanes_a), fb, a,
+                            (dnx_a, dny_a, dnz_a), lanes_a)
+    # boundary: flush every lane's accumulator (recorder's flush_acc),
+    # then gather the surviving lanes' carries through the permutation
+    carry_a, fb = flush_acc(carry_a, fb)
     defaults = _zeros_carry(lanes_b)
     gth = lambda v, dflt: jnp.where(pv, v[rec.perm], dflt)
-    carry_b0 = tuple(gth(v, d) for v, d in zip(carry_a[:-1],
-                                               defaults[:-1]))
-    carry_b0 = carry_b0 + (defaults[-1],)
+    carry_b0 = (tuple(gth(v, d) for v, d in zip(carry_a[:13],
+                                                defaults[:13]))
+                + defaults[13:16]
+                + (gth(carry_a[16], defaults[16]),)
+                + defaults[17:])
 
     dnx_b = jnp.concatenate([bres.dx[1:], bres.dx[-1:]], axis=0)
     dny_b = jnp.concatenate([bres.dy[1:], bres.dy[-1:]], axis=0)
     dnz_b = jnp.concatenate([bres.dz[1:], bres.dz[-1:]], axis=0)
-    xs_b = (bres.pix, bres.s, bres.fresh, bres.win, bres.t,
-            dnx_b, dny_b, dnz_b, bres.texel, bres.fixk, gbx, gby, gbz)
-    carry_b, _ = jax.lax.scan(body, carry_b0, xs_b,
-                              unroll=unroll)
-    return acc_a + jnp.sum(carry_b[-1])
-
-
-def _cotangents_at_sites(rec: RecQ, g, *, npx: int, spp: int,
-                         pix_base, samp_base):
-    """Place per-pixel cotangents g (npx, 3) at each sample's termination
-    site in the two stages' (S, lanes) record grids.  Two one-shot index
-    passes (a site scatter over the record grids + one (L, 3) channel
-    scatter), both detached and outside the replay scans."""
-    pb = jnp.asarray(pix_base, f32)
-    sb = jnp.asarray(samp_base, f32)
-    L = npx * spp
-
-    def stage_sids(res: ResQ):
-        enc = jnp.maximum(res.win - 1.0, 0.0)
-        term = jnp.floor(enc * f32(1.0 / 4096.0))
-        is_term = (res.win > 0.0) & (term > 0.0)
-        sid = ((res.pix - pb) * f32(spp) + (res.s - sb)).astype(jnp.int32)
-        return jnp.where(is_term, sid, L).reshape(-1)
-
-    na = rec.a.win.size
-    nb = rec.b.win.size
-    n = na + nb
-    sid_all = jnp.concatenate([stage_sids(rec.a), stage_sids(rec.b)])
-    flat = jnp.arange(n, dtype=jnp.int32)
-    sites = jnp.full((L + 1,), n, jnp.int32).at[sid_all].set(
-        flat, mode="drop")[:L]
-    # pixel-major sample ids: g repeats densely, no gather
-    g_sid = jnp.broadcast_to(g[:, None, :], (npx, spp, 3)).reshape(L, 3)
-    out_a, out_b = [], []
-    for c in range(3):
-        gc = jnp.zeros((n + 1,), f32).at[sites].set(g_sid[:, c],
-                                                    mode="drop")
-        out_a.append(gc[:na].reshape(rec.a.win.shape))
-        out_b.append(gc[na:n].reshape(rec.b.win.shape))
-    return tuple(out_a), tuple(out_b)
+    carry_b, fb = run_stage(carry_b0, fb, bres, (dnx_b, dny_b, dnz_b),
+                            lanes_b)
+    _, fb = flush_acc(carry_b, fb)
+    return fb[:drop].reshape(3, npx).transpose(1, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -892,7 +1096,8 @@ def render_grad_fb(width: int, height: int, npx: int, spp: int, *,
                    tile_rows: int = None, tile_rows_b: int = None,
                    window: int = None, chunk: int = None,
                    max_steps: int = None, max_steps_b: int = None,
-                   avg_path_hint: float = 3.0, interpret: bool = None):
+                   avg_path_hint: float = 3.0, interpret: bool = None,
+                   attr_rows: int = None, tail_pix: int = None):
     """Build `f(scene, cam, pix_base, samp_base) -> (npx, 3)` per-pixel
     MEAN radiance over samples [samp_base, samp_base+spp) of the
     contiguous pixel range [pix_base, pix_base+npx): forward runs the
@@ -925,6 +1130,11 @@ def render_grad_fb(width: int, height: int, npx: int, spp: int, *,
         rows_b = max(tile_rows_b, rows // 16)
     rows_b = _round_up(rows_b, tile_rows_b)
     lanes = rows * LANE
+    if tail_pix is None:
+        # singles cover ~the last window's worth of grants (see
+        # record_forward_q's variable-chunking note); irrelevant when
+        # chunks are already single-sample
+        tail_pix = 0 if chunk == 1 else min(npx // 2, lanes // 2)
     if max_steps is None:
         max_steps = (int(math.ceil(L * avg_path_hint / (lanes * 0.85)))
                      + 2 * window)
@@ -936,7 +1146,7 @@ def render_grad_fb(width: int, height: int, npx: int, spp: int, *,
                t_min=t_min, seed=seed, rows=rows, rows_b=rows_b,
                tile_rows=tile_rows, tile_rows_b=tile_rows_b, window=window,
                chunk=chunk, n_windows=n_windows, n_windows_b=n_windows_b,
-               interpret=interpret)
+               interpret=interpret, tail_pix=int(tail_pix))
     inv_spp = f32(1.0 / spp)
 
     @jax.custom_vjp
@@ -952,15 +1162,14 @@ def render_grad_fb(width: int, height: int, npx: int, spp: int, *,
 
     def bwd(saved, gbar):
         scene, cam, rec, pix_base, samp_base = saved
-        g = _cotangents_at_sites(rec, gbar * inv_spp, npx=npx, spp=spp,
-                                 pix_base=pix_base, samp_base=samp_base)
         _, vjp_fn = jax.vjp(
-            lambda s, c: replay_proxy(
-                s, c, rec, g, width=width, height=height,
+            lambda s, c: replay_fb(
+                s, c, rec, pix_base, width=width, height=height, npx=npx,
                 max_depth=max_depth, attenuate=attenuate, t_min=t_min,
-                seed=seed, unroll=1 if interpret else 4),
+                seed=seed, window=window, unroll=1 if interpret else 16,
+                attr_rows=attr_rows),
             scene, cam)
-        ds, dc = vjp_fn(jnp.float32(1.0))
+        ds, dc = vjp_fn(gbar * inv_spp)
         return ds, dc, jnp.zeros_like(jnp.asarray(pix_base, f32)), \
             jnp.zeros_like(jnp.asarray(samp_base, f32))
 
